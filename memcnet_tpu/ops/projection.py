@@ -1,0 +1,184 @@
+"""Flow projection ops: scatter a forward flow to the intermediate time step.
+
+TPU-native formulation: the reference's atomicAdd scatter
+(my_lib_kernel.cu:1630-1694) becomes an XLA scatter-add (``.at[].add``), which
+on TPU is deterministic (fixed combine order) — a strict improvement over the
+nondeterministic-FP-order CUDA atomics, with identical values.
+
+Reference semantics (file:line under /root/reference/my_package/src/):
+  * scatter: each source pixel p with flow f lands at x2 = p + f; if
+    0 <= x2 <= W-1 and 0 <= y2 <= H-1, scatter **-f** (and +1 to a counter)
+    into the 4 integer neighbors (T/B x L/R), with R/B clamped to the border —
+    when clamped, the same cell receives the contribution twice, which we
+    reproduce (my_lib_kernel.cu:1664-1690).
+  * averaging: divide by the counter where it is > 0 (:1696-1739).
+  * fillhole (eval only; FlowProjectionLayer.py:15 sets fillhole=1 iff the
+    input does not require grad): for count==0 pixels, scan left/right/up/down
+    for the nearest projected pixel and average the found values (:1742-1836).
+    The reference's down-scan is dead code — ``while(down_temp = 0.0f && ...)``
+    at :1799 assigns instead of comparing, so the loop never runs.  We
+    reproduce that bug by default for numeric parity with shipped weights and
+    expose ``fix_down_scan_bug=True`` to enable the (intended) 4th direction.
+  * backward (:1837-1901): grad_f(p) = -sum_{4 neighbors} g[n]/count[n].
+    Autodiff of this forward produces exactly that (count has no gradient —
+    it is a function of integer landing cells only), so no custom VJP needed.
+
+Also here: DepthFlowProjectionLayer (my_lib_kernel.cu:2053-2516) — DAIN-style
+depth-weighted projection — and WeightedFlowProjectionLayer (:2518-3024) —
+brightness-constancy-gated projection. Both reuse the same scatter machinery.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _landing_cells(flow):
+    """Integer neighbor cells + validity for flow (B,2,H,W)."""
+    B, two, H, W = flow.shape
+    assert two == 2, f"flow must have 2 channels, got {two}"
+    dt = flow.dtype
+    xs = jnp.arange(W, dtype=dt)[None, None, :]
+    ys = jnp.arange(H, dtype=dt)[None, :, None]
+    fx, fy = flow[:, 0], flow[:, 1]
+    x2 = xs + fx
+    y2 = ys + fy
+    valid = (x2 >= 0.0) & (y2 >= 0.0) & (x2 <= W - 1.0) & (y2 <= H - 1.0)
+    ixL = jnp.clip(x2.astype(jnp.int32), 0, W - 1)
+    iyT = jnp.clip(y2.astype(jnp.int32), 0, H - 1)
+    ixR = jnp.minimum(ixL + 1, W - 1)
+    iyB = jnp.minimum(iyT + 1, H - 1)
+    return valid, ixL, ixR, iyT, iyB
+
+
+def _scatter4(values, weights, valid, ixL, ixR, iyT, iyB, H, W):
+    """Scatter-add `values` (B,K,H,W) and `weights` (B,H,W) into the 4 landing
+    neighbors. Returns (out (B,K,H,W), count (B,H,W))."""
+    B, K = values.shape[0], values.shape[1]
+    vals = jnp.where(valid[:, None], values, 0.0).reshape(B, K, H * W)
+    wts = jnp.where(valid, weights, 0.0).reshape(B, H * W)
+    out = jnp.zeros((B, K, H * W), values.dtype)
+    cnt = jnp.zeros((B, H * W), values.dtype)
+    for iy, ix in ((iyT, ixL), (iyT, ixR), (iyB, ixL), (iyB, ixR)):
+        lin = (iy * W + ix).reshape(B, H * W)
+        out = out.at[jnp.arange(B)[:, None, None], jnp.arange(K)[None, :, None], lin[:, None, :]].add(vals)
+        cnt = cnt.at[jnp.arange(B)[:, None], lin].add(wts)
+    return out.reshape(B, K, H, W), cnt.reshape(B, H, W)
+
+
+def _directional_fill(avg_flow, count, fix_down_scan_bug):
+    """Masked directional 'nearest projected value' fill for count==0 holes."""
+    B, _, H, W = avg_flow.shape
+    has = count > 0.0
+    col = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    row = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    neg = jnp.int32(-1)
+
+    # Nearest valid index in each direction via running max of masked positions.
+    left_idx = jax.lax.cummax(jnp.where(has, col, neg), axis=2)
+    right_rev = jax.lax.cummax(jnp.where(has, (W - 1) - col, neg)[:, :, ::-1], axis=2)[:, :, ::-1]
+    right_idx = jnp.where(right_rev >= 0, (W - 1) - right_rev, neg)
+    up_idx = jax.lax.cummax(jnp.where(has, row, neg), axis=1)
+    down_rev = jax.lax.cummax(jnp.where(has, (H - 1) - row, neg)[:, ::-1, :], axis=1)[:, ::-1, :]
+    down_idx = jnp.where(down_rev >= 0, (H - 1) - down_rev, neg)
+
+    def at_col(idx):
+        i = jnp.clip(idx, 0, W - 1)
+        flat = avg_flow.reshape(B, 2, H, W)
+        return jnp.take_along_axis(flat, i[:, None, :, :].repeat(2, axis=1), axis=3)
+
+    def at_row(idx):
+        i = jnp.clip(idx, 0, H - 1)
+        flat = avg_flow.reshape(B, 2, H, W)
+        return jnp.take_along_axis(flat, i[:, None, :, :].repeat(2, axis=1), axis=2)
+
+    dirs = [
+        (left_idx >= 0, at_col(left_idx)),
+        (right_idx >= 0, at_col(right_idx)),
+        (up_idx >= 0, at_row(up_idx)),
+    ]
+    if fix_down_scan_bug:
+        dirs.append((down_idx >= 0, at_row(down_idx)))
+    # else: reference my_lib_kernel.cu:1799 `while(down_temp = 0.0f && ...)`
+    # never executes the down search -> weight and value are both 0.
+
+    num = jnp.zeros_like(avg_flow)
+    den = jnp.zeros_like(count)
+    for exists, val in dirs:
+        w = exists.astype(avg_flow.dtype)
+        num = num + val * w[:, None]
+        den = den + w
+    hole = (~has) & (den > 0.0)
+    filled = num / jnp.where(den > 0.0, den, 1.0)
+    return jnp.where(hole[:, None], filled, avg_flow)
+
+
+@partial(jax.jit, static_argnames=("fillhole", "fix_down_scan_bug"))
+def flow_project(flow, *, fillhole=False, fix_down_scan_bug=False):
+    """Project forward flow F_{t->t+1} to time t (negated-average scatter).
+
+    Args:
+      flow: (B, 2, H, W).
+      fillhole: fill count==0 holes from neighbors (eval-time only in the
+        reference, FlowProjectionLayer.py:15).
+      fix_down_scan_bug: enable the down-direction scan the reference
+        accidentally disabled (my_lib_kernel.cu:1799).
+    """
+    B, _, H, W = flow.shape
+    valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
+    out, cnt = _scatter4(-flow, jnp.ones_like(flow[:, 0]), valid, ixL, ixR, iyT, iyB, H, W)
+    avg = out / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
+    if fillhole:
+        avg = _directional_fill(avg, cnt, fix_down_scan_bug)
+    return avg
+
+
+@partial(jax.jit, static_argnames=("fillhole",))
+def depth_flow_project(flow, depth, *, fillhole=False):
+    """Depth-weighted flow projection (DAIN-style).
+
+    Reference: DepthFlowProjectionLayer, my_lib_kernel.cu:2053-2516.  Each
+    source pixel scatters depth(p) * -f(p) and depth(p) into the 4 landing
+    neighbors; the average is the depth-weighted mean of -f.  No Python call
+    site ships in the reference (exported capability only, SURVEY.md N7).
+
+    Args:
+      flow: (B,2,H,W);  depth: (B,1,H,W) positive weights.
+    """
+    B, _, H, W = flow.shape
+    valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
+    d = depth[:, 0]
+    out, cnt = _scatter4(-flow * depth, d, valid, ixL, ixR, iyT, iyB, H, W)
+    avg = out / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
+    if fillhole:
+        avg = _directional_fill(avg, cnt, False)
+    return avg
+
+
+@partial(jax.jit, static_argnames=("fillhole",))
+def weighted_flow_project(flow, frame1, frame2, *, threshold=20.0 / 255.0, fillhole=False):
+    """Brightness-constancy-gated flow projection.
+
+    Reference: WeightedFlowProjectionLayer, my_lib_kernel.cu:2518-3024
+    (gate :2560-2620).  The photometric error between frame1(p) and
+    frame2(p + 2f) (bilinear) gates which flows scatter: only pixels with
+    error <= threshold contribute, and the (1 - err/threshold) weight plane is
+    both the scatter weight and the averaging denominator.
+    Exported capability only in the reference (SURVEY.md N8).
+    """
+    from memcnet_tpu.ops.warp import bilinear_warp
+
+    B, _, H, W = flow.shape
+    warped2 = bilinear_warp(frame2, 2.0 * flow)
+    err = jnp.mean(jnp.abs(frame1 - warped2), axis=1)  # (B,H,W)
+    ok = err <= threshold
+    weight = jnp.where(ok, (1.0 - err / threshold) ** 2 + 1e-8, 0.0)
+
+    valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
+    valid = valid & ok
+    out, cnt = _scatter4(-flow * weight[:, None], weight, valid, ixL, ixR, iyT, iyB, H, W)
+    avg = out / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
+    if fillhole:
+        avg = _directional_fill(avg, cnt, False)
+    return avg
