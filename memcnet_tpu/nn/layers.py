@@ -1,0 +1,202 @@
+"""Minimal functional NN layers with exact PyTorch numeric semantics.
+
+The models keep their parameters as a flat ``dict[str, jnp.ndarray]`` whose
+keys are exactly the reference's PyTorch state-dict names (e.g.
+``"conv1.0.weight"``), and weights keep the PyTorch layouts (conv OIHW,
+conv-transpose IOHW).  This makes the ``.pth`` importer a name-for-name copy
+with zero mapping logic, and makes parity auditable key by key.
+
+Semantics that must match PyTorch-0.2 for weight-import parity
+(SURVEY.md section 7 "hard parts"):
+  * ``Upsample(scale_factor=2, mode='bilinear')`` == align_corners=True
+    (the only behavior that existed in 0.2).
+  * BatchNorm in eval mode: running stats, eps=1e-5.
+  * ConvTranspose2d(k=4, s=2, p=1): the FlowNetS deconv.
+  * grid_sample(mode='bilinear', zero padding, align_corners=True): SPyNet.
+  * ReplicationPad2d: demo padding geometry (demo_MiddleBury.py:99-117).
+
+All spatial ops are NCHW. XLA relayouts internally for the TPU MXU; keeping
+NCHW at the API keeps parameter parity trivial.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_CONV_DN = ("NCHW", "OIHW", "NCHW")
+
+
+def conv2d(x, w, b=None, *, stride=1, padding=0):
+    """PyTorch Conv2d. w: (O, I, kH, kW)."""
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    out = lax.conv_general_dilated(
+        x, w, window_strides=s,
+        padding=((p[0], p[0]), (p[1], p[1])),
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+    )
+    if out.dtype != x.dtype:
+        out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
+def conv_transpose2d(x, w, b=None, *, stride=2, padding=1):
+    """PyTorch ConvTranspose2d. w: (I, O, kH, kW) — PyTorch layout.
+
+    Implemented as a convolution of the input dilated by ``stride`` with the
+    spatially-flipped kernel, padded by k-1-p (the standard transpose-conv
+    identity). Matches nn.ConvTranspose2d(k,s,p) for output (H-1)*s - 2p + k.
+    """
+    kh, kw = w.shape[2], w.shape[3]
+    wf = w[:, :, ::-1, ::-1]
+    out = lax.conv_general_dilated(
+        x, wf, window_strides=(1, 1),
+        padding=((kh - 1 - padding, kh - 1 - padding), (kw - 1 - padding, kw - 1 - padding)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NCHW", "IOHW", "NCHW"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+    )
+    if out.dtype != x.dtype:
+        out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
+def batch_norm_eval(x, gamma, beta, running_mean, running_var, eps=1e-5):
+    """BatchNorm2d in eval mode (running statistics)."""
+    inv = lax.rsqrt(running_var.astype(jnp.float32) + eps)
+    scale = (gamma.astype(jnp.float32) * inv).astype(x.dtype)
+    shift = (beta.astype(jnp.float32) - running_mean.astype(jnp.float32) * gamma.astype(jnp.float32) * inv).astype(x.dtype)
+    return x * scale.reshape(1, -1, 1, 1) + shift.reshape(1, -1, 1, 1)
+
+
+def max_pool2d(x, k=2, s=None):
+    s = k if s is None else s
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max, (1, 1, k, k), (1, 1, s, s), "VALID",
+    )
+
+
+def avg_pool2d(x, k=2, s=None):
+    s = k if s is None else s
+    summed = lax.reduce_window(x, 0.0, lax.add, (1, 1, k, k), (1, 1, s, s), "VALID")
+    return summed / (k * k)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x, negative_slope=0.1):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _linear_resize_1d_indices(n_in, n_out):
+    """align_corners=True source indices/weights (static, computed at trace)."""
+    if n_out == 1 or n_in == 1:
+        i0 = np.zeros(n_out, np.int32)
+        return i0, i0, np.zeros(n_out, np.float32)
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(src).astype(np.int32)
+    i0 = np.minimum(i0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w = (src - i0).astype(np.float32)
+    return i0, i1, w
+
+
+def upsample_bilinear(x, scale_factor=2):
+    """PyTorch-0.2 nn.Upsample(mode='bilinear') == align_corners=True."""
+    B, C, H, W = x.shape
+    Ho, Wo = H * scale_factor, W * scale_factor
+    yi0, yi1, yw = _linear_resize_1d_indices(H, Ho)
+    xi0, xi1, xw = _linear_resize_1d_indices(W, Wo)
+    yw = jnp.asarray(yw, x.dtype)[None, None, :, None]
+    xw = jnp.asarray(xw, x.dtype)[None, None, None, :]
+    rows0 = x[:, :, yi0, :]
+    rows1 = x[:, :, yi1, :]
+    rows = rows0 * (1 - yw) + rows1 * yw
+    cols0 = rows[:, :, :, xi0]
+    cols1 = rows[:, :, :, xi1]
+    return cols0 * (1 - xw) + cols1 * xw
+
+
+def replication_pad2d(x, pad):
+    """pad = (left, right, top, bottom), PyTorch ReplicationPad2d order."""
+    left, right, top, bottom = pad
+    return jnp.pad(x, ((0, 0), (0, 0), (top, bottom), (left, right)), mode="edge")
+
+
+def pad_replicate_hw(x, pad):
+    return replication_pad2d(x, pad)
+
+
+def grid_sample_bilinear(x, grid):
+    """torch.nn.functional.grid_sample, mode='bilinear', padding_mode='zeros',
+    align_corners=True (the PyTorch-0.2 behavior SPyNet relies on,
+    SPyNet/Network.py:134).
+
+    x: (B,C,H,W); grid: (B,Ho,Wo,2) with normalized coords in [-1,1]
+    (grid[...,0]=x, grid[...,1]=y). Out-of-range *taps* are zeroed
+    individually (unlike bilinear_warp's whole-pixel validity).
+    """
+    B, C, H, W = x.shape
+    gx = (grid[..., 0] + 1.0) * (W - 1) / 2.0
+    gy = (grid[..., 1] + 1.0) * (H - 1) / 2.0
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    wx = gx - x0.astype(gx.dtype)
+    wy = gy - y0.astype(gy.dtype)
+
+    def tap(yi, xi):
+        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        lin = (yc * W + xc).reshape(B, 1, -1)
+        v = jnp.take_along_axis(x.reshape(B, C, H * W), lin, axis=2)
+        v = v.reshape(B, C, *yi.shape[1:])
+        return v * inb[:, None].astype(x.dtype)
+
+    out = (
+        tap(y0, x0) * ((1 - wx) * (1 - wy))[:, None]
+        + tap(y0, x1) * (wx * (1 - wy))[:, None]
+        + tap(y1, x0) * ((1 - wx) * wy)[:, None]
+        + tap(y1, x1) * (wx * wy)[:, None]
+    )
+    return out
+
+
+# ---- flat-param helpers -----------------------------------------------------
+
+
+def p_conv(params, prefix, x, *, stride=1, padding=0):
+    w = params[prefix + ".weight"]
+    b = params.get(prefix + ".bias")
+    return conv2d(x, w, b, stride=stride, padding=padding)
+
+
+def p_conv_transpose(params, prefix, x, *, stride=2, padding=1):
+    w = params[prefix + ".weight"]
+    b = params.get(prefix + ".bias")
+    return conv_transpose2d(x, w, b, stride=stride, padding=padding)
+
+
+def p_bn(params, prefix, x):
+    return batch_norm_eval(
+        x,
+        params[prefix + ".weight"],
+        params[prefix + ".bias"],
+        params[prefix + ".running_mean"],
+        params[prefix + ".running_var"],
+    )

@@ -1,0 +1,99 @@
+"""Parity of memcnet_tpu.nn layers vs PyTorch (CPU) reference primitives.
+
+Weight-import parity (SURVEY.md section 7 "bit-level parity details") hinges on
+these layers matching torch semantics exactly; torch (CPU build) is baked into
+the image, so each layer is checked against the real thing.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from memcnet_tpu import nn as mnn  # noqa: E402
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 3, 7), (2, 2, 5), (1, 0, 1)])
+def test_conv2d(rng, stride, padding, k):
+    x = rng.randn(2, 5, 16, 18).astype(np.float32)
+    w = rng.randn(7, 5, k, k).astype(np.float32) * 0.1
+    b = rng.randn(7).astype(np.float32)
+    want = F.conv2d(t(x), t(w), t(b), stride=stride, padding=padding).numpy()
+    got = np.asarray(mnn.conv2d(x, w, b, stride=stride, padding=padding))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose2d_k4s2p1(rng):
+    # FlowNetS deconv geometry (FlowNetS.py:26-30)
+    x = rng.randn(2, 6, 8, 9).astype(np.float32)
+    w = rng.randn(6, 4, 4, 4).astype(np.float32) * 0.1
+    b = rng.randn(4).astype(np.float32)
+    want = F.conv_transpose2d(t(x), t(w), t(b), stride=2, padding=1).numpy()
+    got = np.asarray(mnn.conv_transpose2d(x, w, b, stride=2, padding=1))
+    assert got.shape == want.shape == (2, 4, 16, 18)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_norm_eval(rng):
+    x = rng.randn(2, 8, 6, 6).astype(np.float32)
+    g = rng.rand(8).astype(np.float32) + 0.5
+    bta = rng.randn(8).astype(np.float32)
+    rm = rng.randn(8).astype(np.float32)
+    rv = rng.rand(8).astype(np.float32) + 0.1
+    want = F.batch_norm(t(x), t(rm), t(rv), t(g), t(bta), training=False, eps=1e-5).numpy()
+    got = np.asarray(mnn.batch_norm_eval(x, g, bta, rm, rv))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("H,W", [(8, 8), (7, 9)])
+def test_max_pool2d(rng, H, W):
+    x = rng.randn(2, 3, H, W).astype(np.float32)
+    want = F.max_pool2d(t(x), 2).numpy()
+    got = np.asarray(mnn.max_pool2d(x, 2))
+    np.testing.assert_allclose(got, want)
+
+
+def test_avg_pool2d(rng):
+    x = rng.randn(2, 3, 8, 10).astype(np.float32)
+    want = F.avg_pool2d(t(x), 2).numpy()
+    got = np.asarray(mnn.avg_pool2d(x, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_upsample_bilinear_align_corners(rng, scale):
+    # PyTorch-0.2 Upsample(bilinear) == modern align_corners=True
+    x = rng.randn(2, 3, 5, 7).astype(np.float32)
+    want = F.interpolate(t(x), scale_factor=scale, mode="bilinear", align_corners=True).numpy()
+    got = np.asarray(mnn.upsample_bilinear(x, scale))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_replication_pad(rng):
+    x = rng.randn(1, 3, 4, 5).astype(np.float32)
+    pad = (2, 3, 1, 4)  # l, r, t, b
+    want = F.pad(t(x), pad, mode="replicate").numpy()
+    got = np.asarray(mnn.replication_pad2d(x, pad))
+    np.testing.assert_allclose(got, want)
+
+
+def test_leaky_relu(rng):
+    x = rng.randn(2, 3, 4, 4).astype(np.float32)
+    want = F.leaky_relu(t(x), 0.1).numpy()
+    got = np.asarray(mnn.leaky_relu(x, 0.1))
+    np.testing.assert_allclose(got, want)
+
+
+def test_grid_sample_bilinear(rng):
+    # SPyNet Backward-warp semantics (SPyNet/Network.py:134):
+    # zeros padding + align_corners=True (the 0.2 behavior)
+    x = rng.randn(2, 3, 6, 7).astype(np.float32)
+    grid = (rng.rand(2, 6, 7, 2).astype(np.float32) - 0.5) * 2.6  # spans out-of-range
+    want = F.grid_sample(t(x), t(grid), mode="bilinear", padding_mode="zeros", align_corners=True).numpy()
+    got = np.asarray(mnn.grid_sample_bilinear(x, grid))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
