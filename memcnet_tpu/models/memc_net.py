@@ -1,0 +1,205 @@
+"""The three frame-interpolation models: MEMC_Net, MEMC_Net_s, MEMC_Net_star.
+
+Reference forwards: networks/MEMC_Net.py:69-146, MEMC_Net_s.py:62-145,
+MEMC_Net_star.py:78-169.  Eval returns ([interp, rectified], flows, filters,
+occlusions); train returns L1-ready residual pairs plus the same intermediates
+(MEMC_Net.py:132-137).
+
+Pipeline (shared skeleton):
+  flow:      FlowNetS(pair) * div_flow/2, bilinear x4 upsample (:148-152)
+             [_s: SPyNet(first, second) / 2, full-res already (:147-156)]
+             -> flow_project to the intermediate time (fillhole in eval only)
+  filter:    MonoNet5 trunk -> two branches of filter_size^2 channels
+  occlusion: MonoNet5 trunk -> 0.5 + branch  [_s: filter branch-0 channel 0]
+  warp:      filter_interp_warp both frames; occlusion-weighted blend
+             [_s: plain average]
+  [star]:    ResNet-conv1 contexts warped through the same op, detached
+  rectify:   8-conv RectifyNet residual  [star: EDSR(169ch, 10 blocks, 128)]
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from memcnet_tpu.models import ctx as ctx_mod
+from memcnet_tpu.models import edsr, flownets, spynet
+from memcnet_tpu.models.mononet import (
+    branch_specs,
+    forward_single_path,
+    init_specs,
+    mononet5_specs,
+    rectify_specs,
+)
+from memcnet_tpu.nn import init as I
+from memcnet_tpu.nn.layers import upsample_bilinear
+from memcnet_tpu.ops import filter_interp_warp, flow_project
+
+DIV_FLOW = 20.0
+
+
+def _forward_flownets(params, pair, prefix="flownets"):
+    """FlowNetS quarter-res flow -> x(div_flow/2), x4 bilinear upsample
+    (MEMC_Net.py:148-152)."""
+    f = flownets.forward(params, pair, prefix=prefix)
+    return upsample_bilinear(f * (DIV_FLOW / 2.0), 4)
+
+
+class MEMCNet:
+    """MEMC_Net (FlowNetS flow, BN MonoNets, conv RectifyNet)."""
+
+    name = "MEMC_Net"
+    variant = "full"
+    with_bn = True
+    init_fn = staticmethod(I.kaiming_uniform)
+    has_occlusion_net = True
+    has_ctx = False
+
+    def __init__(self, filter_size=4, channel=3):
+        self.filter_size = filter_size
+        self.channel = channel
+        fs2 = filter_size * filter_size
+        self.trunk_specs = mononet5_specs(channel, self.variant, self.with_bn)
+        self.filter_branch_specs = branch_specs(fs2)
+        self.occ_branch_specs = branch_specs(1)
+        self.rectify_in = 3 + 4 + 2 * fs2 + 2  # MEMC_Net.py:32
+
+    # -- params ---------------------------------------------------------------
+
+    def init_params(self, key, dtype=jnp.float32):
+        ks = jr.split(key, 12)
+        p = {}
+        p.update(init_specs(ks[0], self.trunk_specs, "initScaleNets_filter", self.init_fn, dtype))
+        p.update(init_specs(ks[1], self.filter_branch_specs, "initScaleNets_filter1", self.init_fn, dtype))
+        p.update(init_specs(ks[2], self.filter_branch_specs, "initScaleNets_filter2", self.init_fn, dtype))
+        if self.has_occlusion_net:
+            p.update(init_specs(ks[3], self.trunk_specs, "initScaleNets_occlusion", self.init_fn, dtype))
+            p.update(init_specs(ks[4], self.occ_branch_specs, "initScaleNets_occlusion1", self.init_fn, dtype))
+            p.update(init_specs(ks[5], self.occ_branch_specs, "initScaleNets_occlusion2", self.init_fn, dtype))
+        p.update(self._init_rectify(ks[6], dtype))
+        p.update(self._init_flow(ks[7], dtype))
+        if self.has_ctx:
+            p.update(ctx_mod.init_params(ks[8], dtype=dtype))
+        return p
+
+    def _init_rectify(self, key, dtype):
+        return init_specs(key, rectify_specs(self.rectify_in), "rectifyNet", self.init_fn, dtype)
+
+    def _init_flow(self, key, dtype):
+        return flownets.init_params(key, dtype=dtype)
+
+    # -- forward --------------------------------------------------------------
+
+    def _flows(self, params, x0, x2, fillhole):
+        pair01 = jnp.concatenate((x0, x2), axis=1)
+        pair10 = jnp.concatenate((x2, x0), axis=1)
+        f01 = _forward_flownets(params, pair01)
+        f10 = _forward_flownets(params, pair10)
+        off0 = flow_project(f01, fillhole=fillhole)
+        off1 = flow_project(f10, fillhole=fillhole)
+        return off0, off1
+
+    def _filters(self, params, pair):
+        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pair)
+        f0 = forward_single_path(params, "initScaleNets_filter1", self.filter_branch_specs, t)
+        f1 = forward_single_path(params, "initScaleNets_filter2", self.filter_branch_specs, t)
+        return f0, f1
+
+    def _occlusions(self, params, pair, filters):
+        t = forward_single_path(params, "initScaleNets_occlusion", self.trunk_specs, pair)
+        o0 = 0.5 + forward_single_path(params, "initScaleNets_occlusion1", self.occ_branch_specs, t)
+        o1 = 0.5 + forward_single_path(params, "initScaleNets_occlusion2", self.occ_branch_specs, t)
+        return o0, o1
+
+    def _blend(self, warped0, warped1, occ):
+        return occ[0] * warped0 + occ[1] * warped1  # MEMC_Net.py:263
+
+    def _rectify(self, params, blended, offs, filters, occs, ctxs):
+        rin = jnp.concatenate((blended, offs[0], offs[1], filters[0], filters[1], occs[0], occs[1]), axis=1)
+        return blended + forward_single_path(params, "rectifyNet", rectify_specs(self.rectify_in), rin)
+
+    def forward(self, params, x0, x2, *, training=False):
+        """x0/x2: (B, 3, H, W), H and W multiples of 128 (padded upstream).
+        Returns ((interp, rectified), (off0, off1), (filt0, filt1), (occ0, occ1))."""
+        pair = jnp.concatenate((x0, x2), axis=1)
+        offs = self._flows(params, x0, x2, fillhole=not training)
+        filters = self._filters(params, pair)
+        occs = self._occlusions(params, pair, filters)
+        fs = self.filter_size
+        w0 = filter_interp_warp(x0, offs[0], filters[0], filter_size=fs)
+        w1 = filter_interp_warp(x2, offs[1], filters[1], filter_size=fs)
+        blended = self._blend(w0, w1, occs)
+        ctxs = self._ctx_warped(params, x0, x2, offs, filters) if self.has_ctx else None
+        rectified = self._rectify(params, blended, offs, filters, occs, ctxs)
+        return (blended, rectified), offs, filters, occs
+
+    def _ctx_warped(self, params, x0, x2, offs, filters):
+        raise NotImplementedError
+
+    def train_residuals(self, params, x0, x1, x2):
+        """Training-mode loss residuals (MEMC_Net.py:132-137):
+        [interp - gt, rectified - gt]."""
+        (blended, rectified), offs, filters, occs = self.forward(params, x0, x2, training=True)
+        return [blended - x1, rectified - x1], offs, filters, occs
+
+
+class MEMCNetStar(MEMCNet):
+    """MEMC-Net*: + ResNet-conv1 contexts (warped, detached) and EDSR rectifier
+    (MEMC_Net_star.py:35,127-148,272-285); xavier init (:64); MonoNet pool/unpool
+    blocks carry no BatchNorm (:313-345)."""
+
+    name = "MEMC_Net_star"
+    with_bn = False
+    init_fn = staticmethod(I.xavier_uniform)
+    has_ctx = True
+
+    def __init__(self, filter_size=4, channel=3):
+        super().__init__(filter_size, channel)
+        fs2 = filter_size * filter_size
+        self.rectify_in = 3 + 2 * 2 + 2 * fs2 + 64 * 2 + 1 * 2  # MEMC_Net_star.py:35
+
+    def _init_rectify(self, key, dtype):
+        return edsr.init_params(key, self.rectify_in, n_resblocks=10, n_feats=128,
+                                init_fn=self.init_fn, dtype=dtype)
+
+    def _ctx_warped(self, params, x0, x2, offs, filters):
+        c0 = ctx_mod.forward(params, x0)
+        c2 = ctx_mod.forward(params, x2)
+        fs = self.filter_size
+        w0 = filter_interp_warp(c0, offs[0], filters[0], filter_size=fs)
+        w2 = filter_interp_warp(c2, offs[1], filters[1], filter_size=fs)
+        # detached (MEMC_Net_star.py:285)
+        return jax.lax.stop_gradient(w0), jax.lax.stop_gradient(w2)
+
+    def _rectify(self, params, blended, offs, filters, occs, ctxs):
+        rin = jnp.concatenate(
+            (blended, offs[0], offs[1], filters[0], filters[1], occs[0], occs[1], ctxs[0], ctxs[1]),
+            axis=1,
+        )  # MEMC_Net_star.py:142-147
+        return blended + edsr.forward(params, rin, n_resblocks=10)
+
+
+class MEMCNetS(MEMCNet):
+    """Small variant: SPyNet flow at full res (div_flow=1, /2 — MEMC_Net_s.py:147-156),
+    thin single MonoNet5, no occlusion net (plain average blend :260-266,
+    pseudo-occlusions from filter branch-0 channel 0 :111-114)."""
+
+    name = "MEMC_Net_s"
+    variant = "thin"
+    with_bn = True
+    has_occlusion_net = False
+
+    def _init_flow(self, key, dtype):
+        return spynet.init_params(key, dtype=dtype)
+
+    def _flows(self, params, x0, x2, fillhole):
+        f01 = spynet.forward(params, x0, x2) / 2.0
+        f10 = spynet.forward(params, x2, x0) / 2.0
+        return flow_project(f01, fillhole=fillhole), flow_project(f10, fillhole=fillhole)
+
+    def _occlusions(self, params, pair, filters):
+        o = filters[0][:, :1]
+        return o, o  # MEMC_Net_s.py:111-114
+
+    def _blend(self, warped0, warped1, occ):
+        return warped0 / 2.0 + warped1 / 2.0  # MEMC_Net_s.py:264
+

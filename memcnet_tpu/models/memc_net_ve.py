@@ -1,0 +1,102 @@
+"""MEMC_Net_VE: 7-frame video-enhancement model (networks/MEMC_Net_VE.py:129-290).
+
+The 6 (center, neighbor) pairs are batched into ONE FlowNetS call and ONE
+MonoNet5 filter call (:193-199); each neighbor (and its ResNet-conv1 context,
+detached :474) is filter-interpolation-warped toward the center; the center
+frame passes through.  The EDSR rectifier consumes 577 channels —
+cat(7 ctx(64), 6 flows(2), 6 filters(16), 7 frames(3)) in that order
+(:241-256) — and adds a residual on the center frame (:260).
+
+Flow scaling differs from the interpolation models: flow = div_flow * out with
+NO /2 (:292-296) since the warp target is the full neighbor offset.
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from memcnet_tpu.models import ctx as ctx_mod
+from memcnet_tpu.models import edsr, flownets
+from memcnet_tpu.models.mononet import (
+    branch_specs,
+    forward_single_path,
+    init_specs,
+    mononet5_specs,
+)
+from memcnet_tpu.nn import init as I
+from memcnet_tpu.nn.layers import upsample_bilinear
+from memcnet_tpu.ops import filter_interp_warp
+
+DIV_FLOW = 20.0
+
+
+class MEMCNetVE:
+    name = "MEMC_Net_VE"
+
+    def __init__(self, filter_size=4, channel=3):
+        self.filter_size = filter_size
+        self.channel = channel
+        fs2 = filter_size * filter_size
+        self.trunk_specs = mononet5_specs(channel, "full", with_bn=True)
+        self.filter_branch_specs = branch_specs(fs2)
+        self.rectify_in = 3 * 7 + 64 * 7 + 2 * 6 + fs2 * 6  # MEMC_Net_VE.py:77
+
+    def init_params(self, key, dtype=jnp.float32):
+        ks = jr.split(key, 5)
+        p = {}
+        p.update(init_specs(ks[0], self.trunk_specs, "initScaleNets_filter", I.kaiming_uniform, dtype))
+        p.update(init_specs(ks[1], self.filter_branch_specs, "initScaleNets_filter1", I.kaiming_uniform, dtype))
+        p.update(edsr.init_params(ks[2], self.rectify_in, n_resblocks=10, n_feats=128,
+                                  init_fn=I.kaiming_uniform, dtype=dtype))
+        p.update(flownets.init_params(ks[3], dtype=dtype))
+        p.update(ctx_mod.init_params(ks[4], dtype=dtype))
+        return p
+
+    def forward(self, params, frames, *, training=False, debug=False):
+        """frames: list of 7 arrays (B, 3, H, W); H, W multiples of 128.
+        Returns the rectified center frame (B,3,H,W); with debug=True also
+        (flow, filter) as in MEMC_Net_VE.py:287-290."""
+        assert len(frames) == 7
+        B = frames[0].shape[0]
+        center = frames[3]
+        neighbors = [frames[i] for i in (0, 1, 2, 4, 5, 6)]
+
+        pairs = jnp.concatenate([jnp.concatenate((center, n), axis=1) for n in neighbors], axis=0)
+        flow = upsample_bilinear(flownets.forward(params, pairs) * DIV_FLOW, 4)  # :292-296
+
+        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pairs)
+        filt = forward_single_path(params, "initScaleNets_filter1", self.filter_branch_specs, t)
+
+        fs = self.filter_size
+        warped = []
+        ctx_warped = []
+        for k, n in enumerate(neighbors):
+            fl = flow[k * B:(k + 1) * B]
+            ft = filt[k * B:(k + 1) * B]
+            warped.append(filter_interp_warp(n, fl, ft, filter_size=fs))
+            cw = filter_interp_warp(ctx_mod.forward(params, n), fl, ft, filter_size=fs)
+            ctx_warped.append(jax.lax.stop_gradient(cw))  # :474
+
+        # re-interleave into temporal order with the center passthrough (:208-239)
+        outs = warped[:3] + [center] + warped[3:]
+        ctxs = ctx_warped[:3] + [ctx_mod.forward(params, center)] + ctx_warped[3:]
+
+        flows6 = [flow[k * B:(k + 1) * B] for k in range(6)]
+        filts6 = [filt[k * B:(k + 1) * B] for k in range(6)]
+        rin = jnp.concatenate(ctxs + flows6 + filts6 + outs, axis=1)  # :241-256
+        rectified = center + edsr.forward(params, rin, n_resblocks=10)  # :260
+
+        if training:
+            return outs, rectified
+        if debug:
+            return rectified, flow, filt
+        return rectified
+
+    def train_residuals(self, params, frames, y):
+        """MEMC_Net_VE.py:270-275: per-neighbor warped-vs-target residuals plus
+        the rectified-vs-target residual in the center slot."""
+        outs, rectified = self.forward(params, frames, training=True)
+        losses = []
+        for i in range(7):
+            losses.append((rectified if i == 3 else outs[i]) - y)
+        return losses

@@ -1,0 +1,139 @@
+"""MonoNet5 U-Net trunk + branches and RectifyNet, as static layer specs.
+
+The reference builds these as flat nn.ModuleLists and wires the U-Net skips by
+walking the list with a stack — push the tensor entering each MaxPool, add the
+popped tensor after each Upsample (MEMC_Net.py:154-178,180-250).  Here the
+same topology is expressed as a *static spec list* interpreted by a small
+functional walker; parameter keys reproduce the reference's flat ModuleList
+state-dict indices exactly (e.g. "initScaleNets_filter.12.running_mean"), so
+the .pth importer is a name-for-name copy.
+
+Variants (all cited in SURVEY.md section 2.2):
+  * full, with BatchNorm: MEMC_Net (MEMC_Net.py:180-238) and MEMC_Net_VE
+    (MEMC_Net_VE.py:349-425).
+  * full, no BatchNorm in pool/unpool blocks: MEMC_Net_star
+    (MEMC_Net_star.py:204-262, conv_relu_maxpool :313-327 has BN commented).
+  * thin (one conv per block): MEMC_Net_s (MEMC_Net_s.py:192-239).
+"""
+
+import jax.numpy as jnp
+import jax.random as jr
+
+from memcnet_tpu.nn import layers as L
+from memcnet_tpu.nn import init as I
+
+
+def _blocks_to_specs(blocks, with_bn):
+    """blocks: list of ('c', cin, cout) | ('cp', cin, cout) | ('cu', cin, cout)
+    | ('uc', cin, cout).  'cu' is conv-relu[-bn]-upsample (MEMC_Net.py:308-321);
+    'uc' is the MEMC_Net_s ordering upsample-conv-relu-bn (MEMC_Net_s.py:312-325),
+    where the skip-add lands *before* the conv.  Returns flat spec list
+    [(kind, flat_idx, meta)] mirroring ModuleList order."""
+    specs = []
+    i = 0
+    for kind, cin, cout in blocks:
+        if kind == "uc":
+            specs.append(("upsample", i, None)); i += 1
+        specs.append(("conv", i, (cin, cout))); i += 1
+        specs.append(("relu", i, None)); i += 1
+        if kind in ("cp", "cu", "uc"):
+            if with_bn:
+                specs.append(("bn", i, cout)); i += 1
+            if kind == "cp":
+                specs.append(("maxpool", i, None)); i += 1
+            elif kind == "cu":
+                specs.append(("upsample", i, None)); i += 1
+    return specs
+
+
+def mononet5_specs(channel_in, variant="full", with_bn=True):
+    """Trunk specs. channel_in is the *per-frame* channel count; the first conv
+    consumes channel_in * 2 (two stacked frames), as in get_MonoNet5."""
+    c2 = channel_in * 2
+    if variant == "full":
+        blocks = [
+            ("c", c2, 32), ("c", 32, 32), ("cp", 32, 32),
+            ("c", 32, 64), ("cp", 64, 64),
+            ("c", 64, 128), ("cp", 128, 128),
+            ("c", 128, 256), ("cp", 256, 256),
+            ("c", 256, 512), ("cp", 512, 512),
+            ("c", 512, 512), ("c", 512, 512),
+            ("cu", 512, 512), ("c", 512, 256),
+            ("cu", 256, 256), ("c", 256, 128),
+            ("cu", 128, 128), ("c", 128, 64),
+            ("cu", 64, 64), ("c", 64, 32),
+            ("cu", 32, 32), ("c", 32, 16),
+        ]
+    elif variant == "thin":  # MEMC_Net_s.py:192-239
+        blocks = [
+            ("c", c2, 16), ("cp", 16, 32),
+            ("cp", 32, 64),
+            ("cp", 64, 128),
+            ("cp", 128, 256),
+            ("cp", 256, 512),
+            ("c", 512, 512),
+            ("uc", 512, 256),
+            ("uc", 256, 128),
+            ("uc", 128, 64),
+            ("uc", 64, 32),
+            ("uc", 32, 16),
+        ]
+    else:
+        raise ValueError(variant)
+    return _blocks_to_specs(blocks, with_bn)
+
+
+def branch_specs(channel_out):
+    """conv_relu_conv branch: Conv(16,16) / ReLU / Conv(16,out)."""
+    return [("conv", 0, (16, 16)), ("relu", 1, None), ("conv", 2, (16, channel_out))]
+
+
+def rectify_specs(channel_in):
+    """get_RectifyNet2 (MEMC_Net.py:240-250): 7x conv_relu(->64) + final conv to 3."""
+    blocks = [("c", channel_in, 64)] + [("c", 64, 64)] * 6
+    specs = _blocks_to_specs(blocks, with_bn=False)
+    i = specs[-1][1] + 1
+    specs.append(("conv", i, (64, 3)))
+    return specs
+
+
+def init_specs(key, specs, prefix, init_fn=I.kaiming_uniform, dtype=jnp.float32):
+    params = {}
+    for kind, idx, meta in specs:
+        if kind == "conv":
+            cin, cout = meta
+            key, k1 = jr.split(key)
+            params[f"{prefix}.{idx}.weight"] = init_fn(k1, (cout, cin, 3, 3), dtype)
+            params[f"{prefix}.{idx}.bias"] = jnp.zeros((cout,), dtype)
+        elif kind == "bn":
+            ch = meta
+            params[f"{prefix}.{idx}.weight"] = jnp.ones((ch,), dtype)
+            params[f"{prefix}.{idx}.bias"] = jnp.zeros((ch,), dtype)
+            params[f"{prefix}.{idx}.running_mean"] = jnp.zeros((ch,), dtype)
+            params[f"{prefix}.{idx}.running_var"] = jnp.ones((ch,), dtype)
+    return params
+
+
+def forward_single_path(params, prefix, specs, x):
+    """The stack-walk of MEMC_Net.forward_singlePath (MEMC_Net.py:154-178):
+    push the tensor entering each pool, add the popped one after each
+    upsample. (The 'offset' concat mode is dead in shipped models — every
+    call site passes 'filter'/'occlusion'/None.)"""
+    stack = []
+    cur = x
+    for kind, idx, _meta in specs:
+        if kind == "conv":
+            cur = L.p_conv(params, f"{prefix}.{idx}", cur, stride=1, padding=1)
+        elif kind == "relu":
+            cur = L.relu(cur)
+        elif kind == "bn":
+            cur = L.p_bn(params, f"{prefix}.{idx}", cur)
+        elif kind == "maxpool":
+            stack.append(cur)
+            cur = L.max_pool2d(cur, 2)
+        elif kind == "upsample":
+            cur = L.upsample_bilinear(cur, 2) + stack.pop()
+        else:
+            raise ValueError(kind)
+    assert not stack
+    return cur
