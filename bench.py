@@ -1,0 +1,86 @@
+"""Headline benchmark: MEMC_Net_star 720p 2x interpolation, frames/s/chip.
+
+Protocol mirrors demo_HD720p.py / demo_MiddleBury.py geometry: 1280x720
+frames, replication-padded to 1344x768 (pad-to-x128 rule,
+demo_MiddleBury.py:99-117), batch 1, eval mode (fillhole on).  The model runs
+in bfloat16 (the production TPU config; MXU-native) with fp32 parameters cast
+at call time; steady-state wall time over repeated iterations.
+
+Prints ONE JSON line:
+  {"metric": "720p_interp_frames_per_s_per_chip", "value": fps,
+   "unit": "frames/s", "vs_baseline": fps / 10.0}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+north-star target is >=5x an estimated Titan-X (Pascal) rate of ~2 frames/s
+at 720p for MEMC-Net*, i.e. 10 frames/s. vs_baseline >= 1.0 means the target
+is met. The estimate is recorded in BASELINE.md pending regenerated reference
+numbers.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from memcnet_tpu import models as M
+
+    dtype = jnp.bfloat16 if "--fp32" not in sys.argv else jnp.float32
+
+    H, W = 768, 1344  # 720p padded to x128
+    model = M.get_model("MEMC_Net_star")
+    params = model.init_params(jr.PRNGKey(0))
+    params = {k: v.astype(dtype) if v.dtype == jnp.float32 else v for k, v in params.items()}
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(1, 3, H, W), dtype)
+    x2 = jnp.asarray(rng.rand(1, 3, H, W), dtype)
+
+    # The axon tunnel executes lazily (block_until_ready returns before the
+    # device finishes), so the step chains its output into the next input AND
+    # accumulates a checksum scalar; fetching the final checksum forces the
+    # whole chain by data dependency.  Per-frame time = total / iters.
+    @jax.jit
+    def step(params, x0, x2, acc):
+        (interp, rectified), _o, _f, _occ = model.forward(params, x0, x2)
+        # clip keeps the chained input in-distribution over many iterations
+        return jnp.clip(rectified, 0, 1), acc + jnp.sum(interp.astype(jnp.float32))
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.time()
+    out, a0 = step(params, x0, x2, acc)
+    a0 = float(a0)
+    print(f"compile+first run: {time.time() - t0:.1f}s, dtype={out.dtype}", file=sys.stderr)
+
+    iters = 10
+    best = float("inf")
+    for _rep in range(3):
+        acc = jnp.zeros((), jnp.float32)
+        cur = x0
+        t0 = time.time()
+        for _ in range(iters):
+            cur, acc = step(params, cur, x2, acc)
+        final = float(acc)  # forces execution of the full chain
+        best = min(best, (time.time() - t0) / iters)
+    assert np.isfinite(final), final
+    dt = best
+    fps = 1.0 / dt
+    print(f"per-frame: {dt * 1e3:.1f} ms (checksum {final:.3e})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "720p_interp_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

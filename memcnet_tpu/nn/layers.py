@@ -114,20 +114,29 @@ def _linear_resize_1d_indices(n_in, n_out):
     return i0, i1, w
 
 
+def _resize_matrix(n_in, n_out):
+    """Dense (n_out, n_in) align_corners=True interpolation matrix (static)."""
+    i0, i1, w = _linear_resize_1d_indices(n_in, n_out)
+    m = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, i0), 1.0 - w)
+    np.add.at(m, (rows, i1), w)
+    return m
+
+
 def upsample_bilinear(x, scale_factor=2):
-    """PyTorch-0.2 nn.Upsample(mode='bilinear') == align_corners=True."""
+    """PyTorch-0.2 nn.Upsample(mode='bilinear') == align_corners=True.
+
+    Expressed as two small static matmuls (out = M_h @ x @ M_w^T) rather than
+    gathers: the MXU eats these, and matmul contraction partitions cleanly
+    under SPMD sharding where a gather on a sharded axis would not.
+    HIGHEST precision pins the interpolation weights to fp32 on TPU (where
+    default-precision fp32 matmuls drop to bf16)."""
     B, C, H, W = x.shape
-    Ho, Wo = H * scale_factor, W * scale_factor
-    yi0, yi1, yw = _linear_resize_1d_indices(H, Ho)
-    xi0, xi1, xw = _linear_resize_1d_indices(W, Wo)
-    yw = jnp.asarray(yw, x.dtype)[None, None, :, None]
-    xw = jnp.asarray(xw, x.dtype)[None, None, None, :]
-    rows0 = x[:, :, yi0, :]
-    rows1 = x[:, :, yi1, :]
-    rows = rows0 * (1 - yw) + rows1 * yw
-    cols0 = rows[:, :, :, xi0]
-    cols1 = rows[:, :, :, xi1]
-    return cols0 * (1 - xw) + cols1 * xw
+    mh = jnp.asarray(_resize_matrix(H, H * scale_factor), x.dtype)
+    mw = jnp.asarray(_resize_matrix(W, W * scale_factor), x.dtype)
+    x = jnp.einsum("oh,bchw->bcow", mh, x, precision=lax.Precision.HIGHEST)
+    return jnp.einsum("pw,bcow->bcop", mw, x, precision=lax.Precision.HIGHEST)
 
 
 def replication_pad2d(x, pad):
