@@ -1,0 +1,150 @@
+"""Tests for metrics (vs independent oracles), .pth import round-trip, orbax
+checkpointing, padding geometry, and YUV420 I/O round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from memcnet_tpu import metrics as MT
+from memcnet_tpu.data import YUVRead, YUVWrite, pad_frame, pad_plan, unpad_frame
+from memcnet_tpu.io import import_pth, import_state_dict, load_pth_state_dict, load_checkpoint, save_checkpoint
+
+
+class TestMetrics:
+    def test_psnr_identity(self, rng):
+        a = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        assert MT.psnr(a, a) == 100.0
+        assert MT.interp_error(a, a) == 0.0
+
+    def test_psnr_known_value(self):
+        a = np.zeros((16, 16, 3), np.uint8)
+        b = np.full((16, 16, 3), 10, np.uint8)
+        # mse=100 -> 20*log10(255/10)
+        np.testing.assert_allclose(MT.psnr(a, b), 20 * np.log10(25.5), rtol=1e-6)
+
+    def test_ssim_identity_and_bounds(self, rng):
+        a = (rng.rand(64, 64) * 255).astype(np.uint8)
+        assert MT.ssim(a, a) == pytest.approx(1.0)
+        b = (rng.rand(64, 64) * 255).astype(np.uint8)
+        v = MT.ssim(a, b)
+        assert -1.0 <= v < 0.5  # random images: near 0
+
+    def test_ssim_windowed_oracle(self, rng):
+        # direct sliding-window implementation as independent oracle
+        a = (rng.rand(24, 24) * 255).astype(np.uint8).astype(np.float64)
+        b = np.clip(a + rng.randn(24, 24) * 12, 0, 255)
+        win, k1, k2, dr = 7, 0.01, 0.03, 255.0
+        c1, c2 = (k1 * dr) ** 2, (k2 * dr) ** 2
+        vals = []
+        for i in range(24 - win + 1):
+            for j in range(24 - win + 1):
+                x = a[i:i + win, j:j + win].ravel()
+                y = b[i:i + win, j:j + win].ravel()
+                ux, uy = x.mean(), y.mean()
+                vx, vy = x.var(ddof=1), y.var(ddof=1)
+                vxy = np.cov(x, y, ddof=1)[0, 1]
+                vals.append(((2 * ux * uy + c1) * (2 * vxy + c2)) /
+                            ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+        want = np.mean(vals)
+        got = MT.ssim(a, b, data_range=255.0)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_multichannel(self, rng):
+        a = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        assert MT.ssim(a, a, multichannel=True) == pytest.approx(1.0)
+
+    def test_to_uint8_roundtrip(self):
+        y = np.array([[[0.0, 0.5], [1.0, 2.0]]] * 3)  # (3,2,2), overrange clipped
+        u8 = MT.to_uint8_frame(y)
+        assert u8.shape == (2, 2, 3)
+        assert u8[0, 0, 0] == 0 and u8[0, 1, 0] == 128 and u8[1, 0, 0] == 255 and u8[1, 1, 0] == 255
+
+
+class TestPadding:
+    def test_middlebury_geometry(self):
+        # 640x480: W=640 is x128 -> fixed 32 border (704); H=480 -> pad to 512
+        # (demo_MiddleBury.py:99-115)
+        plan = pad_plan(480, 640)
+        assert plan == (32, 32, 16, 16)
+        x = np.ones((3, 480, 640))
+        xp = pad_frame(x, plan)
+        assert xp.shape == (3, 512, 704)
+        np.testing.assert_array_equal(unpad_frame(xp, plan, 480, 640), x)
+
+    def test_nonmultiple_width(self):
+        plan = pad_plan(360, 420)  # both non-multiples
+        l, r, t, b = plan
+        assert (l + r + 420) % 128 == 0 and (t + b + 360) % 128 == 0
+
+    def test_multiple_gets_border(self):
+        plan = pad_plan(768, 1280)
+        assert plan == (32, 32, 32, 32)
+
+
+class TestPthImport:
+    def test_roundtrip(self, tmp_path, rng):
+        import torch
+
+        sd = {
+            "conv1.0.weight": torch.from_numpy(rng.randn(4, 3, 3, 3).astype(np.float32)),
+            "conv1.0.bias": torch.from_numpy(rng.randn(4).astype(np.float32)),
+            "bn.num_batches_tracked": torch.tensor(5),
+            "extra.weight": torch.zeros(2),
+        }
+        p = tmp_path / "w.pth"
+        torch.save(sd, p)
+
+        params = {
+            "conv1.0.weight": np.zeros((4, 3, 3, 3), np.float32),
+            "conv1.0.bias": np.zeros(4, np.float32),
+            "other.weight": np.ones(3, np.float32),
+        }
+        new, report = import_pth(params, str(p))
+        np.testing.assert_allclose(np.asarray(new["conv1.0.weight"]), sd["conv1.0.weight"].numpy())
+        assert "extra.weight" in report["skipped"]
+        assert "other.weight" in report["missing"]
+        # untouched params keep init values
+        np.testing.assert_array_equal(np.asarray(new["other.weight"]), 1.0)
+
+    def test_shape_mismatch_raises(self, tmp_path, rng):
+        state = {"w": rng.randn(3, 3).astype(np.float32)}
+        with pytest.raises(ValueError):
+            import_state_dict({"w": np.zeros((2, 2), np.float32)}, state)
+
+    def test_strict(self):
+        with pytest.raises(KeyError):
+            import_state_dict({"a": np.zeros(1)}, {"b": np.zeros(1)}, strict=True)
+
+
+class TestCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path, rng):
+        params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "b": np.zeros(3, np.float32)}
+        path = save_checkpoint(str(tmp_path / "ckpt"), params, step=7)
+        back = load_checkpoint(path)
+        np.testing.assert_array_equal(back["params"]["w"], params["w"])
+        assert int(back["step"]) == 7
+
+
+class TestYUV:
+    def test_roundtrip(self, tmp_path, rng):
+        h, w = 16, 32
+        # build smooth frames (chroma subsampling is lossy on noise)
+        yy, xx = np.mgrid[0:h, 0:w]
+        frame = np.stack([
+            (yy * 3 + 20) % 200, (xx * 2 + 50) % 200, ((xx + yy) * 2 + 80) % 200
+        ], axis=-1).astype(np.uint8)
+        p = str(tmp_path / "t.yuv")
+        wtr = YUVWrite(p)
+        wtr.write(frame)
+        wtr.write(frame)
+        wtr.close()
+        assert os.path.getsize(p) == 2 * int(1.5 * h * w)
+        rdr = YUVRead(p, h, w)
+        assert rdr.num_frames() == 2
+        back, ok = rdr.read(1)
+        assert ok and back.shape == (h, w, 3)
+        assert np.mean(np.abs(back.astype(float) - frame.astype(float))) < 8.0
+        _, ok = rdr.read(5)
+        assert not ok
+        rdr.close()
