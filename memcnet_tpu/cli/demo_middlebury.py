@@ -1,0 +1,71 @@
+"""Middlebury 'other' interpolation demo — the reference's primary entry
+point (demo_MiddleBury.py), reproduced protocol-for-protocol: per-sequence
+frame10/frame11 -> frame10i11, pad-to-x128, per-image interpolation error +
+PSNR against ground truth, running averages, diff-image artifacts.
+
+Usage:
+  python -m memcnet_tpu.cli.demo_middlebury --data-dir .../other-data \
+      --gt-dir .../other-gt-interp --out-dir ./results \
+      --net-name MEMC_Net_star --pretrained MEMC-Net_star_best.pth
+"""
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+import imageio.v2 as iio
+
+from memcnet_tpu.cli.runner import PaddedInterp, build_model
+from memcnet_tpu.data import MiddleburyOther
+from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, to_uint8_frame
+from memcnet_tpu.utils.config import Config, add_config_args, config_from_args
+
+
+def run(cfg, data_dir, gt_dir, out_dir):
+    model, params = build_model(cfg)
+    fwd = PaddedInterp(model, params, save_which=cfg.save_which)
+
+    uid = str(random.randint(0, 100000))
+    gen_dir = os.path.join(out_dir, uid)
+    os.makedirs(gen_dir, exist_ok=True)
+    print(f"The unique id for current testing is: {uid}")
+
+    meter = AverageMeter()
+    results = []
+    for x0, x1, gt, name in MiddleburyOther(data_dir, gt_dir):
+        out, _aux = fwd(x0, x1)
+        rec_u8 = to_uint8_frame(out)
+        os.makedirs(os.path.join(gen_dir, name), exist_ok=True)
+        out_path = os.path.join(gen_dir, name, "frame10i11.png")
+        iio.imwrite(out_path, rec_u8)
+        if gt is None:
+            continue
+        gt_u8 = to_uint8_frame(gt)
+        ie = interp_error(rec_u8, gt_u8)
+        p = psnr(rec_u8, gt_u8)
+        meter.update(ie, 1)
+        results.append((name, ie, p))
+        print(f"{name}: interpolation error / PSNR : {round(ie, 4)} / {round(p, 4)}")
+        print(f"The average interpolation error for all images is : {round(meter.avg, 4)}")
+        diff = (128.0 + rec_u8.astype(np.float64) - gt_u8.astype(np.float64)).astype("uint8")
+        iio.imwrite(os.path.join(gen_dir, name, f"frame10i11_diff{ie:.4f}.png"), diff)
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    add_config_args(ap)
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--gt-dir", default=None)
+    ap.add_argument("--out-dir", default="./MiddleBury-results")
+    args = ap.parse_args(argv)
+    cfg = config_from_args(args)
+    if cfg.net_name == "MEMC_Net_VE":
+        sys.exit("use demo_vimeo_ve for the enhancement model")
+    run(cfg, args.data_dir, args.gt_dir, args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

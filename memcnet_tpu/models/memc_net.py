@@ -125,15 +125,26 @@ class MEMCNet:
         filters = self._filters(params, pair)
         occs = self._occlusions(params, pair, filters)
         fs = self.filter_size
-        w0 = filter_interp_warp(x0, offs[0], filters[0], filter_size=fs)
-        w1 = filter_interp_warp(x2, offs[1], filters[1], filter_size=fs)
+        if self.has_ctx:
+            # Image + context share flow/filter indices — warping the
+            # 3+64-channel stack in ONE call amortizes the gather (the per-
+            # index cost dominates; 2 merged warps ~ 156 ms vs 4 split ~ 660
+            # ms at 720p).  Context slices are gradient-stopped afterwards
+            # (MEMC_Net_star.py:285).
+            c0 = ctx_mod.forward(params, x0)
+            c2 = ctx_mod.forward(params, x2)
+            m0 = filter_interp_warp(jnp.concatenate((x0, c0), 1), offs[0], filters[0], filter_size=fs)
+            m1 = filter_interp_warp(jnp.concatenate((x2, c2), 1), offs[1], filters[1], filter_size=fs)
+            w0, ctx0 = m0[:, :3], jax.lax.stop_gradient(m0[:, 3:])
+            w1, ctx1 = m1[:, :3], jax.lax.stop_gradient(m1[:, 3:])
+            ctxs = (ctx0, ctx1)
+        else:
+            w0 = filter_interp_warp(x0, offs[0], filters[0], filter_size=fs)
+            w1 = filter_interp_warp(x2, offs[1], filters[1], filter_size=fs)
+            ctxs = None
         blended = self._blend(w0, w1, occs)
-        ctxs = self._ctx_warped(params, x0, x2, offs, filters) if self.has_ctx else None
         rectified = self._rectify(params, blended, offs, filters, occs, ctxs)
         return (blended, rectified), offs, filters, occs
-
-    def _ctx_warped(self, params, x0, x2, offs, filters):
-        raise NotImplementedError
 
     def train_residuals(self, params, x0, x1, x2):
         """Training-mode loss residuals (MEMC_Net.py:132-137):
@@ -160,15 +171,6 @@ class MEMCNetStar(MEMCNet):
     def _init_rectify(self, key, dtype):
         return edsr.init_params(key, self.rectify_in, n_resblocks=10, n_feats=128,
                                 init_fn=self.init_fn, dtype=dtype)
-
-    def _ctx_warped(self, params, x0, x2, offs, filters):
-        c0 = ctx_mod.forward(params, x0)
-        c2 = ctx_mod.forward(params, x2)
-        fs = self.filter_size
-        w0 = filter_interp_warp(c0, offs[0], filters[0], filter_size=fs)
-        w2 = filter_interp_warp(c2, offs[1], filters[1], filter_size=fs)
-        # detached (MEMC_Net_star.py:285)
-        return jax.lax.stop_gradient(w0), jax.lax.stop_gradient(w2)
 
     def _rectify(self, params, blended, offs, filters, occs, ctxs):
         rin = jnp.concatenate(

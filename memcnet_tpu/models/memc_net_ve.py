@@ -73,9 +73,12 @@ class MEMCNetVE:
         for k, n in enumerate(neighbors):
             fl = flow[k * B:(k + 1) * B]
             ft = filt[k * B:(k + 1) * B]
-            warped.append(filter_interp_warp(n, fl, ft, filter_size=fs))
-            cw = filter_interp_warp(ctx_mod.forward(params, n), fl, ft, filter_size=fs)
-            ctx_warped.append(jax.lax.stop_gradient(cw))  # :474
+            # merged 3+64-ch warp (shared gather indices; see memc_net.py)
+            m = filter_interp_warp(
+                jnp.concatenate((n, ctx_mod.forward(params, n)), 1), fl, ft, filter_size=fs
+            )
+            warped.append(m[:, :3])
+            ctx_warped.append(jax.lax.stop_gradient(m[:, 3:]))  # :474
 
         # re-interleave into temporal order with the center passthrough (:208-239)
         outs = warped[:3] + [center] + warped[3:]
