@@ -22,4 +22,4 @@ def forward(params, x, prefix="ctxNet"):
     mean = jnp.asarray([0.485, 0.485, 0.485], x.dtype).reshape(1, 3, 1, 1)
     std = jnp.asarray([0.229, 0.224, 0.224], x.dtype).reshape(1, 3, 1, 1)
     y = (x - mean) / std
-    return L.conv2d(y, params[f"{prefix}.conv1.weight"], None, stride=1, padding=3)
+    return L.conv2d_im2col(y, params[f"{prefix}.conv1.weight"], None, stride=1, padding=3)

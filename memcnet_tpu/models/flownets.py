@@ -55,7 +55,12 @@ def forward(params, x, prefix="flownets"):
     (B, 2, H/4, W/4) flow2 (FlowNetS.py:80-111)."""
 
     def enc(name, h, k, s):
-        h = L.p_conv(params, f"{prefix}.{name}.0", h, stride=s, padding=(k - 1) // 2)
+        w = params[f"{prefix}.{name}.0.weight"]
+        b = params[f"{prefix}.{name}.0.bias"]
+        if w.shape[1] <= 8:  # conv1's 6-channel input: im2col path (see layers)
+            h = L.conv2d_im2col(h, w, b, stride=s, padding=(k - 1) // 2)
+        else:
+            h = L.conv2d(h, w, b, stride=s, padding=(k - 1) // 2)
         return L.leaky_relu(h, 0.1)
 
     out = x

@@ -90,13 +90,14 @@ class MEMCNet:
     # -- forward --------------------------------------------------------------
 
     def _flows(self, params, x0, x2, fillhole):
-        pair01 = jnp.concatenate((x0, x2), axis=1)
-        pair10 = jnp.concatenate((x2, x0), axis=1)
-        f01 = _forward_flownets(params, pair01)
-        f10 = _forward_flownets(params, pair10)
-        off0 = flow_project(f01, fillhole=fillhole)
-        off1 = flow_project(f10, fillhole=fillhole)
-        return off0, off1
+        # both directions batched into one FlowNetS call and one projection
+        B = x0.shape[0]
+        pairs = jnp.concatenate(
+            [jnp.concatenate((x0, x2), axis=1), jnp.concatenate((x2, x0), axis=1)], axis=0
+        )
+        f = _forward_flownets(params, pairs)
+        off = flow_project(f, fillhole=fillhole)
+        return off[:B], off[B:]
 
     def _filters(self, params, pair):
         t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pair)
@@ -194,9 +195,12 @@ class MEMCNetS(MEMCNet):
         return spynet.init_params(key, dtype=dtype)
 
     def _flows(self, params, x0, x2, fillhole):
-        f01 = spynet.forward(params, x0, x2) / 2.0
-        f10 = spynet.forward(params, x2, x0) / 2.0
-        return flow_project(f01, fillhole=fillhole), flow_project(f10, fillhole=fillhole)
+        B = x0.shape[0]
+        first = jnp.concatenate([x0, x2], axis=0)
+        second = jnp.concatenate([x2, x0], axis=0)
+        f = spynet.forward(params, first, second) / 2.0
+        off = flow_project(f, fillhole=fillhole)
+        return off[:B], off[B:]
 
     def _occlusions(self, params, pair, filters):
         o = filters[0][:, :1]

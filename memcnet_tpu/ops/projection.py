@@ -54,7 +54,12 @@ def _landing_cells(flow):
 
 def _scatter4(values, weights, valid, ixL, ixR, iyT, iyB, H, W):
     """Scatter-add `values` (B,K,H,W) and `weights` (B,H,W) into the 4 landing
-    neighbors. Returns (out (B,K,H,W), count (B,H,W))."""
+    neighbors. Returns (out (B,K,H,W), count (B,H,W)).
+
+    Measured note (v5e, 720p): a fused channels-last slice-scatter (the dual
+    of the warp's patch gather) benches 1.7x SLOWER than these four plain
+    element scatter-adds — TPU scatter does not reward slice contiguity the
+    way gather does — so the simple form stays."""
     B, K = values.shape[0], values.shape[1]
     vals = jnp.where(valid[:, None], values, 0.0).reshape(B, K, H * W)
     wts = jnp.where(valid, weights, 0.0).reshape(B, H * W)
@@ -67,51 +72,45 @@ def _scatter4(values, weights, valid, ixL, ixR, iyT, iyB, H, W):
     return out.reshape(B, K, H, W), cnt.reshape(B, H, W)
 
 
+def _last_valid_scan(has, vals, axis, reverse=False):
+    """Propagate the nearest valid value along `axis` (gather-free: the value
+    rides the scan instead of being fetched by index afterwards)."""
+
+    def combine(a, b):
+        ah, av = a
+        bh, bv = b
+        return jnp.logical_or(bh, ah), jnp.where(bh, bv, av)
+
+    h, v = jax.lax.associative_scan(combine, (has, vals), axis=axis, reverse=reverse)
+    return h, v
+
+
 def _directional_fill(avg_flow, count, fix_down_scan_bug):
-    """Masked directional 'nearest projected value' fill for count==0 holes."""
-    B, _, H, W = avg_flow.shape
-    has = count > 0.0
-    col = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    row = jnp.arange(H, dtype=jnp.int32)[None, :, None]
-    neg = jnp.int32(-1)
+    """Masked directional 'nearest projected value' fill for count==0 holes.
 
-    # Nearest valid index in each direction via running max of masked positions.
-    left_idx = jax.lax.cummax(jnp.where(has, col, neg), axis=2)
-    right_rev = jax.lax.cummax(jnp.where(has, (W - 1) - col, neg)[:, :, ::-1], axis=2)[:, :, ::-1]
-    right_idx = jnp.where(right_rev >= 0, (W - 1) - right_rev, neg)
-    up_idx = jax.lax.cummax(jnp.where(has, row, neg), axis=1)
-    down_rev = jax.lax.cummax(jnp.where(has, (H - 1) - row, neg)[:, ::-1, :], axis=1)[:, ::-1, :]
-    down_idx = jnp.where(down_rev >= 0, (H - 1) - down_rev, neg)
-
-    def at_col(idx):
-        i = jnp.clip(idx, 0, W - 1)
-        flat = avg_flow.reshape(B, 2, H, W)
-        return jnp.take_along_axis(flat, i[:, None, :, :].repeat(2, axis=1), axis=3)
-
-    def at_row(idx):
-        i = jnp.clip(idx, 0, H - 1)
-        flat = avg_flow.reshape(B, 2, H, W)
-        return jnp.take_along_axis(flat, i[:, None, :, :].repeat(2, axis=1), axis=2)
+    The reference's per-pixel while-loop searches (my_lib_kernel.cu:1780-1802)
+    become four masked associative scans carrying (seen_valid, value)."""
+    has = jnp.broadcast_to((count > 0.0)[:, None], avg_flow.shape)
 
     dirs = [
-        (left_idx >= 0, at_col(left_idx)),
-        (right_idx >= 0, at_col(right_idx)),
-        (up_idx >= 0, at_row(up_idx)),
+        _last_valid_scan(has, avg_flow, axis=3),                  # left
+        _last_valid_scan(has, avg_flow, axis=3, reverse=True),    # right
+        _last_valid_scan(has, avg_flow, axis=2),                  # up
     ]
     if fix_down_scan_bug:
-        dirs.append((down_idx >= 0, at_row(down_idx)))
+        dirs.append(_last_valid_scan(has, avg_flow, axis=2, reverse=True))
     # else: reference my_lib_kernel.cu:1799 `while(down_temp = 0.0f && ...)`
     # never executes the down search -> weight and value are both 0.
 
     num = jnp.zeros_like(avg_flow)
-    den = jnp.zeros_like(count)
+    den = jnp.zeros_like(avg_flow)
     for exists, val in dirs:
         w = exists.astype(avg_flow.dtype)
-        num = num + val * w[:, None]
+        num = num + val * w
         den = den + w
     hole = (~has) & (den > 0.0)
     filled = num / jnp.where(den > 0.0, den, 1.0)
-    return jnp.where(hole[:, None], filled, avg_flow)
+    return jnp.where(hole, filled, avg_flow)
 
 
 @partial(jax.jit, static_argnames=("fillhole", "fix_down_scan_bug"))

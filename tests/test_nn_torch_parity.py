@@ -97,3 +97,13 @@ def test_grid_sample_bilinear(rng):
     want = F.grid_sample(t(x), t(grid), mode="bilinear", padding_mode="zeros", align_corners=True).numpy()
     got = np.asarray(mnn.grid_sample_bilinear(x, grid))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,padding,k,cin", [(1, 3, 7, 3), (2, 3, 7, 6)])
+def test_conv2d_im2col(rng, stride, padding, k, cin):
+    x = rng.randn(2, cin, 16, 18).astype(np.float32)
+    w = rng.randn(7, cin, k, k).astype(np.float32) * 0.1
+    b = rng.randn(7).astype(np.float32)
+    want = F.conv2d(t(x), t(w), t(b), stride=stride, padding=padding).numpy()
+    got = np.asarray(mnn.layers.conv2d_im2col(x, w, b, stride=stride, padding=padding))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
