@@ -22,6 +22,14 @@ from memcnet_tpu.ops.projection import (
     flow_project,
     weighted_flow_project,
 )
+from memcnet_tpu.ops.sepconv import separable_conv, separable_conv_flow
+from memcnet_tpu.ops.mc import (
+    occlusion_weight,
+    pixel_splat,
+    pixel_value,
+    pixel_weight,
+    reliable_weight,
+)
 
 __all__ = [
     "filter_interp_warp",
@@ -30,4 +38,11 @@ __all__ = [
     "flow_project",
     "depth_flow_project",
     "weighted_flow_project",
+    "separable_conv",
+    "separable_conv_flow",
+    "occlusion_weight",
+    "pixel_splat",
+    "pixel_value",
+    "pixel_weight",
+    "reliable_weight",
 ]

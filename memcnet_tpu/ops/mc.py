@@ -1,0 +1,176 @@
+"""Motion-compensation weighting/splatting ops (the reference's MC-subnet family).
+
+TPU-native equivalents of WeightLayer (N9), PixelValueLayer + PixelWeightLayer
+(N10) and ReliableWeightLayer (N11).  In the reference these kernels are
+exported capability with no live model call site (only the broken gradcheck
+stub functions/my_gradcheck.py:5 references them), and no Python wrapper
+supplies hyperparameter defaults — the values below are keyword arguments the
+caller owns.  ``tao_r`` / ``Prowindow`` appear in the C signatures
+(my_lib_cuda.h:165-203) but are never read by any kernel body, so they are not
+reproduced here.
+
+Reference semantics (file:line under /root/reference/my_package/src/):
+  * occlusion_weight (WeightLayer): my_lib_kernel.cu:3026-3126.  Per pixel p
+    with flow f: 3x3 patch L1 photometric error between frame1 around p and a
+    bilinear-blended frame2 patch around p+f (the four corner taps are
+    clamped to the border *independently*, :3095-3105 — near edges this is
+    NOT plain bilinear sampling, and we replicate the corner-wise clamping
+    exactly).  err is averaged over channels*9 and mapped through
+    (1 - err/lambda_e)^2 (:3117-3119).  If p+f lands out of frame -> 1e-4
+    (:3122-3124).  The patch window is fixed 3x3 ("Nw must be 3", :3089).
+  * pixel_splat (PixelValue/PixelWeight): my_lib_kernel.cu:3398-3473 and
+    :3689-3755.  Each source pixel splats into the 4x4 window (m,n in
+    [-1..2]) around the integer cell of the HALF-flow landing point
+    p + f/2, with polynomial distance weight
+    g_d = (1 - ((beta-m)^2 + (alpha-n)^2) / (2 sigma_d^2))^2 (:3460-3462).
+    PixelValue accumulates f_w * g_d * value per channel; PixelWeight
+    accumulates f_w * g_d.  Window taps are clamped to the border
+    (:3455-3456), so border cells can receive multiple contributions from
+    one source pixel — reproduced.  Out-of-frame landing centers splat
+    nothing (:3443-3444).
+  * reliable_weight (ReliableWeightLayer): my_lib_kernel.cu:3967-4045.  Same
+    4x4 half-flow splat of g_d alone (no f_w) -> coverage/reliability map.
+
+The atomicAdd scatters become XLA scatter-adds (deterministic on TPU).
+Autodiff of these forwards yields the reference's hand-derived backwards
+(gather of grad_output at the same taps, e.g. :3510-3580); no custom VJP is
+needed.  Layout NCHW.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from memcnet_tpu.ops.warp import _gather_hw
+
+
+def _flow_landing(flow, scale):
+    """Landing coords p + scale*f -> (x2, y2) each (B,H,W)."""
+    B, two, H, W = flow.shape
+    assert two == 2, flow.shape
+    xs = jnp.arange(W, dtype=flow.dtype)[None, None, :]
+    ys = jnp.arange(H, dtype=flow.dtype)[None, :, None]
+    return xs + flow[:, 0] * scale, ys + flow[:, 1] * scale
+
+
+@partial(jax.jit, static_argnames=("window",))
+def occlusion_weight(frame1, frame2, flow, *, lambda_e=0.02, window=3):
+    """Occlusion/reliability weight from patch photometric error (WeightLayer).
+
+    Args:
+      frame1: (B, C, H, W) reference frame.
+      frame2: (B, C, H, W) frame the flow points into.
+      flow:   (B, 2, H, W) flow from frame1 to frame2.
+      lambda_e: photometric-error scale of the (1 - err/lambda_e)^2 mapping.
+      window: patch size (the reference hardcodes 3, my_lib_kernel.cu:3089).
+    Returns:
+      (B, 1, H, W) weight map; 1e-4 where p+f lands out of frame.
+    """
+    B, C, H, W = frame1.shape
+    assert window % 2 == 1, window
+    r = window // 2
+
+    x2, y2 = _flow_landing(flow, 1.0)
+    valid = (x2 >= 0.0) & (y2 >= 0.0) & (x2 <= W - 1.0) & (y2 <= H - 1.0)
+
+    ixL = jnp.clip(x2.astype(jnp.int32), 0, W - 1)
+    iyT = jnp.clip(y2.astype(jnp.int32), 0, H - 1)
+    ixR = jnp.minimum(ixL + 1, W - 1)  # my_lib_kernel.cu:3076-3077
+    iyB = jnp.minimum(iyT + 1, H - 1)
+    alpha = (x2 - ixL.astype(x2.dtype))[:, None]
+    beta = (y2 - iyT.astype(y2.dtype))[:, None]
+
+    ybase = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[None, :, None], (B, H, W))
+    xbase = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, None, :], (B, H, W))
+
+    def cl_h(v):
+        return jnp.clip(v, 0, H - 1)
+
+    def cl_w(v):
+        return jnp.clip(v, 0, W - 1)
+
+    err = jnp.zeros((B, H, W), frame1.dtype)
+    for m in range(-r, r + 1):
+        for n in range(-r, r + 1):
+            p1 = _gather_hw(frame1, cl_h(ybase + m), cl_w(xbase + n))
+            # corner-wise clamped bilinear blend (cu:3095-3105)
+            tgt = (
+                (1 - alpha) * (1 - beta) * _gather_hw(frame2, cl_h(iyT + m), cl_w(ixL + n))
+                + alpha * (1 - beta) * _gather_hw(frame2, cl_h(iyT + m), cl_w(ixR + n))
+                + (1 - alpha) * beta * _gather_hw(frame2, cl_h(iyB + m), cl_w(ixL + n))
+                + alpha * beta * _gather_hw(frame2, cl_h(iyB + m), cl_w(ixR + n))
+            )
+            err = err + jnp.sum(jnp.abs(p1 - tgt), axis=1)
+
+    err = err / (C * window * window)
+    w = (1.0 - err / lambda_e) ** 2
+    return jnp.where(valid, w, 1e-4)[:, None]
+
+
+def _halfflow_splat(flow, planes, sigma_d):
+    """Shared 4x4 half-flow splat: scatter each (B,K,H,W) plane * g_d into the
+    window around p + f/2.  Returns (B, K, H, W) accumulated."""
+    B, K, H, W = planes.shape
+    x2, y2 = _flow_landing(flow, 0.5)
+    valid = (x2 >= 0.0) & (y2 >= 0.0) & (x2 <= W - 1.0) & (y2 <= H - 1.0)
+
+    ixL = jnp.clip(x2.astype(jnp.int32), 0, W - 1)
+    iyT = jnp.clip(y2.astype(jnp.int32), 0, H - 1)
+    alpha = x2 - ixL.astype(x2.dtype)
+    beta = y2 - iyT.astype(y2.dtype)
+
+    out = jnp.zeros((B, K, H * W), planes.dtype)
+    bidx = jnp.arange(B)[:, None, None]
+    kidx = jnp.arange(K)[None, :, None]
+    inv2s2 = 1.0 / (2.0 * sigma_d * sigma_d)
+    for m in range(-1, 3):
+        for n in range(-1, 3):
+            g = 1.0 - ((beta - m) ** 2 + (alpha - n) ** 2) * inv2s2
+            g = g * g  # cu:3460-3462
+            iy = jnp.clip(iyT + m, 0, H - 1)
+            ix = jnp.clip(ixL + n, 0, W - 1)
+            lin = (iy * W + ix).reshape(B, 1, H * W)
+            contrib = jnp.where(valid[:, None], planes * g[:, None], 0.0)
+            out = out.at[bidx, kidx, lin].add(contrib.reshape(B, K, H * W))
+    return out.reshape(B, K, H, W)
+
+
+@jax.jit
+def pixel_splat(values, flow, flow_weights, *, sigma_d=1.0):
+    """Forward-splatting MC pair (PixelValueLayer + PixelWeightLayer, fused).
+
+    Args:
+      values: (B, C, H, W) frame to splat.
+      flow:   (B, 2, H, W) full flow (landing uses f/2, cu:3439-3441).
+      flow_weights: (B, 1, H, W) per-pixel flow confidence f_w.
+    Returns:
+      (splat_values (B,C,H,W), splat_weights (B,1,H,W)); their ratio is the
+      splatted frame.  Fusing the two reference kernels shares the landing
+      math and scatter indices (one scatter of C+1 planes).
+    """
+    planes = jnp.concatenate([values * flow_weights, flow_weights], axis=1)
+    out = _halfflow_splat(flow, planes, sigma_d)
+    return out[:, :-1], out[:, -1:]
+
+
+@jax.jit
+def pixel_value(values, flow, flow_weights, *, sigma_d=1.0):
+    """PixelValueLayer alone (my_lib_kernel.cu:3398-3473)."""
+    return _halfflow_splat(flow, values * flow_weights, sigma_d)
+
+
+@jax.jit
+def pixel_weight(flow, flow_weights, *, sigma_d=1.0):
+    """PixelWeightLayer alone (my_lib_kernel.cu:3689-3755)."""
+    return _halfflow_splat(flow, flow_weights, sigma_d)
+
+
+@jax.jit
+def reliable_weight(flow, *, sigma_d=1.0):
+    """Coverage/reliability map: splat g_d alone (my_lib_kernel.cu:3967-4045).
+
+    Returns (B, 1, H, W).
+    """
+    ones = jnp.ones((flow.shape[0], 1) + flow.shape[2:], flow.dtype)
+    return _halfflow_splat(flow, ones, sigma_d)

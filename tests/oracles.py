@@ -158,3 +158,129 @@ def flow_project_oracle(flow, fillhole=False, fix_down_scan_bug=False):
                         ) / den
         out = filled
     return out
+
+
+def separable_conv_oracle(image, vert, horiz):
+    """my_lib_kernel.cu:285-337 (SeparableConvLayer forward)."""
+    B, C, H, W = image.shape
+    fs = vert.shape[1]
+    oH, oW = H - fs + 1, W - fs + 1
+    out = np.zeros((B, C, oH, oW), image.dtype)
+    for b in range(B):
+        for h in range(oH):
+            for w in range(oW):
+                for c in range(C):
+                    acc = 0.0
+                    for j in range(fs):
+                        for i in range(fs):
+                            acc += (
+                                image[b, c, h + j, w + i]
+                                * vert[b, j, h, w]
+                                * horiz[b, i, h, w]
+                            )
+                    out[b, c, h, w] = acc
+    return out
+
+
+def separable_conv_flow_oracle(vert, horiz):
+    """my_lib_kernel.cu:19-84 (SeparableConvFlowLayer forward)."""
+    B, fs, oH, oW = vert.shape
+    out = np.zeros((B, 2, oH, oW), vert.dtype)
+    for b in range(B):
+        for h in range(oH):
+            for w in range(oW):
+                for (ch, k) in ((1, vert), (0, horiz)):
+                    s = 0.0
+                    c = 0.0
+                    for j in range(fs):
+                        c += j * k[b, j, h, w]
+                        s += k[b, j, h, w]
+                    val = c / s - (fs - 1.0) / 2.0 if s != 0.0 else 0.0
+                    out[b, ch, h, w] = val if abs(s) > 0.0 else -2000.0
+    return out
+
+
+def occlusion_weight_oracle(frame1, frame2, flow, lambda_e=0.02):
+    """my_lib_kernel.cu:3026-3126 (WeightLayer forward), Nw=3."""
+    B, C, H, W = frame1.shape
+    out = np.zeros((B, 1, H, W), frame1.dtype)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                fx, fy = flow[b, 0, h, w], flow[b, 1, h, w]
+                x2, y2 = w + fx, h + fy
+                if not (0.0 <= x2 <= W - 1 and 0.0 <= y2 <= H - 1):
+                    out[b, 0, h, w] = 1e-4
+                    continue
+                ixL, iyT = int(x2), int(y2)
+                ixR, iyB = min(ixL + 1, W - 1), min(iyT + 1, H - 1)
+                a, be = x2 - ixL, y2 - iyT
+                err = 0.0
+                for m in (-1, 0, 1):
+                    p1m = min(max(0, m + h), H - 1)
+                    for n in (-1, 0, 1):
+                        p1n = min(max(0, n + w), W - 1)
+                        mT = min(max(0, m + iyT), H - 1)
+                        nL = min(max(0, n + ixL), W - 1)
+                        mB = min(max(0, m + iyB), H - 1)
+                        nR = min(max(0, n + ixR), W - 1)
+                        for c in range(C):
+                            tgt = (
+                                (1 - a) * (1 - be) * frame2[b, c, mT, nL]
+                                + a * (1 - be) * frame2[b, c, mT, nR]
+                                + (1 - a) * be * frame2[b, c, mB, nL]
+                                + a * be * frame2[b, c, mB, nR]
+                            )
+                            err += abs(frame1[b, c, p1m, p1n] - tgt)
+                err /= C * 9.0
+                out[b, 0, h, w] = (1 - err / lambda_e) ** 2
+    return out
+
+
+def pixel_splat_oracle(values, flow, flow_weights, sigma_d=1.0):
+    """my_lib_kernel.cu:3398-3473 + :3689-3755 (PixelValue/PixelWeight fwd)."""
+    B, C, H, W = values.shape
+    out_v = np.zeros((B, C, H, W), values.dtype)
+    out_w = np.zeros((B, 1, H, W), values.dtype)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                fx, fy = flow[b, 0, h, w], flow[b, 1, h, w]
+                x2, y2 = w + fx / 2.0, h + fy / 2.0
+                if not (0.0 <= x2 <= W - 1 and 0.0 <= y2 <= H - 1):
+                    continue
+                ixL, iyT = int(x2), int(y2)
+                a, be = x2 - ixL, y2 - iyT
+                fw = flow_weights[b, 0, h, w]
+                for m in range(-1, 3):
+                    for n in range(-1, 3):
+                        pm = min(max(0, m + iyT), H - 1)
+                        pn = min(max(0, n + ixL), W - 1)
+                        g = 1.0 - ((be - m) ** 2 + (a - n) ** 2) / (2 * sigma_d**2)
+                        g = g * g
+                        out_w[b, 0, pm, pn] += fw * g
+                        for c in range(C):
+                            out_v[b, c, pm, pn] += fw * g * values[b, c, h, w]
+    return out_v, out_w
+
+
+def reliable_weight_oracle(flow, sigma_d=1.0):
+    """my_lib_kernel.cu:3967-4045 (ReliableWeightLayer forward)."""
+    B, _, H, W = flow.shape
+    out = np.zeros((B, 1, H, W), flow.dtype)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                fx, fy = flow[b, 0, h, w], flow[b, 1, h, w]
+                x2, y2 = w + fx / 2.0, h + fy / 2.0
+                if not (0.0 <= x2 <= W - 1 and 0.0 <= y2 <= H - 1):
+                    continue
+                ixL, iyT = int(x2), int(y2)
+                a, be = x2 - ixL, y2 - iyT
+                for m in range(-1, 3):
+                    for n in range(-1, 3):
+                        pm = min(max(0, m + iyT), H - 1)
+                        pn = min(max(0, n + ixL), W - 1)
+                        g = 1.0 - ((be - m) ** 2 + (a - n) ** 2) / (2 * sigma_d**2)
+                        out[b, 0, pm, pn] += g * g
+    return out
