@@ -25,7 +25,13 @@ def run(cfg, yuv_path, height, width, out_dir, frames=100, step=2):
     os.makedirs(gen_dir, exist_ok=True)
     name = os.path.basename(yuv_path)
 
-    reader = YUVRead(yuv_path, height, width)
+    # native prefetching reader when the C++ runtime is built; numpy fallback
+    from memcnet_tpu import native
+
+    if native.available():
+        reader = native.NativeYUVReader(yuv_path, height, width, stride=step)
+    else:
+        reader = YUVRead(yuv_path, height, width)
     writer = YUVWrite(os.path.join(gen_dir, name))
 
     ie_m, psnr_m, ssim_m = AverageMeter(), AverageMeter(), AverageMeter()
