@@ -45,10 +45,12 @@ def conv2d(x, w, b=None, *, stride=1, padding=0):
 
 
 def conv2d_im2col(x, w, b=None, *, stride=1, padding=0):
-    """Conv as explicit patches + one matmul. For tiny input-channel convs
-    (ctxNet 3->64 7x7, FlowNetS 6->64 7x7/2) XLA's native conv leaves the MXU
-    ~97% idle (C_in pads to 128); flattening taps into the contraction dim
-    gives K = C_in*kh*kw and runs ~10x faster at 720p."""
+    """Conv as explicit patches + one matmul. For tiny input-channel STRIDE-1
+    convs (ctxNet 3->64 7x7) XLA's native conv leaves the MXU ~97% idle
+    (C_in pads to 128); flattening taps into the contraction dim gives
+    K = C_in*kh*kw.  WARNING: with stride>1 the strided lane slicing is
+    pathological on TPU (6->64 k7/s2 at 720p: 225 ms vs 13 ms direct on
+    v5e) — use the direct conv for strided layers."""
     O, I, kh, kw = w.shape
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
@@ -77,11 +79,17 @@ def conv2d_im2col(x, w, b=None, *, stride=1, padding=0):
 def conv_transpose2d(x, w, b=None, *, stride=2, padding=1):
     """PyTorch ConvTranspose2d. w: (I, O, kH, kW) — PyTorch layout.
 
-    Implemented as a convolution of the input dilated by ``stride`` with the
-    spatially-flipped kernel, padded by k-1-p (the standard transpose-conv
-    identity). Matches nn.ConvTranspose2d(k,s,p) for output (H-1)*s - 2p + k.
+    The k=4/s=2/p=1 case (every deconv in the model zoo) uses the sub-pixel
+    decomposition: one 2x2/s1 conv producing 4*O channels + parity interleave.
+    The equivalent lhs_dilation convolution is pathological on TPU for
+    small-spatial/large-channel inputs (FlowNetS deconv5 at 12x21x1024:
+    ~38 ms vs <1 ms; measured v5e) because the zero-inserted input defeats
+    XLA's conv tiling.  General (k, s, p) falls back to the dilation identity
+    (output (H-1)*s - 2p + k).
     """
     kh, kw = w.shape[2], w.shape[3]
+    if stride == 2 and kh == 4 and kw == 4 and padding == 1:
+        return _conv_transpose2d_subpixel(x, w, b)
     wf = w[:, :, ::-1, ::-1]
     out = lax.conv_general_dilated(
         x, wf, window_strides=(1, 1),
@@ -92,6 +100,45 @@ def conv_transpose2d(x, w, b=None, *, stride=2, padding=1):
     )
     if out.dtype != x.dtype:
         out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
+def _conv_transpose2d_subpixel(x, w, b=None):
+    """ConvTranspose2d(k=4, s=2, p=1) as a 2x2 conv + parity interleave.
+
+    Derivation: out[2u+a, 2v+c] = sum_{dm,dn in {0,1}}
+        in[u+a-1+dm, v+c-1+dn] * w[.., 3-a-2dm, 3-c-2dn]
+    so each output parity (a, c) is a stride-1 2x2 conv over the 1-padded
+    input with kernel taps w[.., {3-a,1-a}, {3-c,1-c}]; the four parities
+    stack into one I -> 4*O conv (exact same arithmetic, MXU-native layout).
+    """
+    I, O, _, _ = w.shape
+    B, _, H, W = x.shape
+    wt = w.transpose(1, 0, 2, 3)  # (O, I, 4, 4)
+    subs = [
+        wt[:, :, (3 - a, 1 - a), :][:, :, :, (3 - c, 1 - c)]
+        for a in (0, 1)
+        for c in (0, 1)
+    ]
+    wbig = jnp.concatenate(subs, axis=0)  # (4O, I, 2, 2), blocks (a,c)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    q = lax.conv_general_dilated(
+        xp, wbig, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+    )  # (B, 4O, H+1, W+1)
+    if q.dtype != x.dtype:
+        q = q.astype(x.dtype)
+    o = [
+        q[:, (2 * a + c) * O : (2 * a + c + 1) * O, a : a + H, c : c + W]
+        for a in (0, 1)
+        for c in (0, 1)
+    ]
+    row0 = jnp.stack([o[0], o[1]], axis=-1).reshape(B, O, H, 2 * W)
+    row1 = jnp.stack([o[2], o[3]], axis=-1).reshape(B, O, H, 2 * W)
+    out = jnp.stack([row0, row1], axis=-2).reshape(B, O, 2 * H, 2 * W)
     if b is not None:
         out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
     return out
