@@ -157,6 +157,44 @@ def warp_variants(dtype):
 
     timeit("current, C=3 slice only", v_c3_only, (img, flow, filt))
 
+    def v_stacked_linear(image, flow, filt):
+        """Pre-stack all 16 tap shifts channels-last, then ONE 1-D linear
+        take_along_axis gather per pixel (linear-index descriptors measured
+        ~4x cheaper than 2-D slice-gather descriptors)."""
+        B, C, H, W = image.shape
+        fs, half, pad = 4, 2, 4
+        valid, iy, ix, weight = weights_and_indices(image, flow, filt)
+        img_p = jnp.pad(image, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+        img_cl = img_p.transpose(0, 2, 3, 1)  # (B, Hp, Wp, C)
+        Hs = H + pad + 1  # start positions range [0, H+pad] etc.
+        Ws = W + pad + 1
+        stack = jnp.concatenate(
+            [img_cl[:, j : j + Hs, i : i + Ws, :] for j in range(fs) for i in range(fs)],
+            axis=-1,
+        )  # (B, Hs, Ws, fs*fs*C)
+        flat = stack.reshape(B, Hs * Ws, fs * fs * C)
+        iy0 = (iy + 1 - half + pad).reshape(B, H * W)
+        ix0 = (ix + 1 - half + pad).reshape(B, H * W)
+        lin = (iy0 * Ws + ix0)[..., None]
+        patches = jnp.take_along_axis(flat, lin, axis=1)  # (B, N, fs*fs*C)
+        patches = patches.reshape(B, H * W, fs, fs, C)
+        acc = jnp.einsum("bnjic,bnji->bnc", patches, weight)
+        out = acc.transpose(0, 2, 1).reshape(B, C, H, W)
+        return jnp.where(valid[:, None], out, jax.lax.stop_gradient(image))
+
+    r = timeit("stacked-shift single linear gather", v_stacked_linear, (img, flow, filt))
+    if r is not None:
+        got = np.asarray(v_stacked_linear(img, flow, filt), np.float32)
+        want = np.asarray(filter_interp_warp(img, flow, filt), np.float32)
+        print(f"  max diff vs current: {np.abs(got - want).max():.2e}", flush=True)
+
+    def v_stacked_two_warps(image, flow, filt):
+        """Both directions share the stacked tensor."""
+        return (v_stacked_linear(image, flow, filt),
+                v_stacked_linear(image, -flow, filt))
+
+    timeit("stacked linear gather (x2 directions)", v_stacked_two_warps, (img, flow, filt))
+
 
 # --------------------------------------------------------------------------
 # projection variants
