@@ -25,6 +25,7 @@ from memcnet_tpu.models import ctx as ctx_mod
 from memcnet_tpu.models import edsr, flownets, spynet
 from memcnet_tpu.models.mononet import (
     branch_specs,
+    forward_dual_path,
     forward_single_path,
     init_specs,
     mononet5_specs,
@@ -111,6 +112,20 @@ class MEMCNet:
         o1 = 0.5 + forward_single_path(params, "initScaleNets_occlusion2", self.occ_branch_specs, t)
         return o0, o1
 
+    def _filters_and_occlusions(self, params, pair):
+        """Filter + occlusion nets fused: identical specs on the same input
+        run as grouped-conv walks (see mononet.forward_dual_path)."""
+        t_f, t_o = forward_dual_path(
+            params, "initScaleNets_filter", "initScaleNets_occlusion", self.trunk_specs, pair
+        )
+        filters = forward_dual_path(
+            params, "initScaleNets_filter1", "initScaleNets_filter2", self.filter_branch_specs, t_f
+        )
+        o0, o1 = forward_dual_path(
+            params, "initScaleNets_occlusion1", "initScaleNets_occlusion2", self.occ_branch_specs, t_o
+        )
+        return filters, (0.5 + o0, 0.5 + o1)
+
     def _blend(self, warped0, warped1, occ):
         return occ[0] * warped0 + occ[1] * warped1  # MEMC_Net.py:263
 
@@ -123,8 +138,7 @@ class MEMCNet:
         Returns ((interp, rectified), (off0, off1), (filt0, filt1), (occ0, occ1))."""
         pair = jnp.concatenate((x0, x2), axis=1)
         offs = self._flows(params, x0, x2, fillhole=not training)
-        filters = self._filters(params, pair)
-        occs = self._occlusions(params, pair, filters)
+        filters, occs = self._filters_and_occlusions(params, pair)
         fs = self.filter_size
         if self.has_ctx:
             # Image + context share flow/filter indices — warping the
@@ -205,6 +219,14 @@ class MEMCNetS(MEMCNet):
     def _occlusions(self, params, pair, filters):
         o = filters[0][:, :1]
         return o, o  # MEMC_Net_s.py:111-114
+
+    def _filters_and_occlusions(self, params, pair):
+        # single (thin) trunk; the two filter branches still pair up
+        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pair)
+        filters = forward_dual_path(
+            params, "initScaleNets_filter1", "initScaleNets_filter2", self.filter_branch_specs, t
+        )
+        return filters, self._occlusions(params, pair, filters)
 
     def _blend(self, warped0, warped1, occ):
         return warped0 / 2.0 + warped1 / 2.0  # MEMC_Net_s.py:264

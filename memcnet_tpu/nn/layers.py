@@ -27,14 +27,15 @@ from jax import lax
 _CONV_DN = ("NCHW", "OIHW", "NCHW")
 
 
-def conv2d(x, w, b=None, *, stride=1, padding=0):
-    """PyTorch Conv2d. w: (O, I, kH, kW)."""
+def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1):
+    """PyTorch Conv2d. w: (O, I/groups, kH, kW)."""
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
     out = lax.conv_general_dilated(
         x, w, window_strides=s,
         padding=((p[0], p[0]), (p[1], p[1])),
         dimension_numbers=_CONV_DN,
+        feature_group_count=groups,
         preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
     )
     if out.dtype != x.dtype:
