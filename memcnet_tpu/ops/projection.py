@@ -79,12 +79,14 @@ def _scatter4(values, weights, valid, ixL, ixR, iyT, iyB, H, W):
     planes in a single contiguous update window — and the three neighbors
     are border-folding shifts of its result (4x fewer updates; measured
     260 ms -> ~70 ms for B=2 at 720p)."""
-    B, K = values.shape[0], values.shape[1]
+    B, K, Hs, Ws = values.shape  # source grid may be narrower than the
+    # (H, W) target grid (tiled projection scatters into a halo-extended
+    # buffer, parallel/tiling.tiled_flow_project)
     payload = jnp.concatenate([values, weights[:, None]], axis=1)
     payload = jnp.where(valid[:, None], payload, 0.0)
     # channels-last so each update writes one contiguous (K+1)-slice
-    upd = payload.reshape(B, K + 1, H * W).transpose(0, 2, 1)
-    lin = (iyT * W + ixL).reshape(B, H * W)
+    upd = payload.reshape(B, K + 1, Hs * Ws).transpose(0, 2, 1)
+    lin = (iyT * W + ixL).reshape(B, Hs * Ws)
     base = jnp.zeros((B, H * W, K + 1), values.dtype)
     base = base.at[jnp.arange(B)[:, None], lin].add(upd)
     S = base.transpose(0, 2, 1).reshape(B, K + 1, H, W)
