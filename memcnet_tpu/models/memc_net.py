@@ -146,8 +146,11 @@ class MEMCNet:
             # index cost dominates; 2 merged warps ~ 156 ms vs 4 split ~ 660
             # ms at 720p).  Context slices are gradient-stopped afterwards
             # (MEMC_Net_star.py:285).
-            c0 = ctx_mod.forward(params, x0)
-            c2 = ctx_mod.forward(params, x2)
+            # one batched ctx call for both frames (per-op overhead dominates
+            # this single small-C conv; B=2 costs the same as B=1)
+            B = x0.shape[0]
+            cc = ctx_mod.forward(params, jnp.concatenate((x0, x2), axis=0))
+            c0, c2 = cc[:B], cc[B:]
             m0 = filter_interp_warp(jnp.concatenate((x0, c0), 1), offs[0], filters[0], filter_size=fs)
             m1 = filter_interp_warp(jnp.concatenate((x2, c2), 1), offs[1], filters[1], filter_size=fs)
             w0, ctx0 = m0[:, :3], jax.lax.stop_gradient(m0[:, 3:])
