@@ -177,3 +177,22 @@ class TestFlowProject:
                             want[0, 0, h, w] += -g_out[0, 0, iy, ix] / cnt[0, iy, ix]
                             want[0, 1, h, w] += -g_out[0, 1, iy, ix] / cnt[0, iy, ix]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestDeterminism:
+    def test_flow_project_bit_deterministic(self, rng):
+        """TPU-native scatter has a fixed combine order — a strict improvement
+        over the reference's atomicAdd FP-order nondeterminism (SURVEY.md
+        section 5 'race detection'). Two evaluations must be bit-identical."""
+        flow = ((rng.rand(2, 2, 24, 36) - 0.5) * 30).astype(np.float32)
+        a = np.asarray(flow_project(flow, fillhole=True))
+        b = np.asarray(flow_project(flow, fillhole=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_filter_interp_bit_deterministic(self, rng):
+        image = rng.rand(1, 3, 16, 20).astype(np.float32)
+        flow = ((rng.rand(1, 2, 16, 20) - 0.5) * 6).astype(np.float32)
+        filt = rng.rand(1, 16, 16, 20).astype(np.float32)
+        a = np.asarray(filter_interp_warp(image, flow, filt))
+        b = np.asarray(filter_interp_warp(image, flow, filt))
+        np.testing.assert_array_equal(a, b)
