@@ -129,13 +129,19 @@ def forward_dual_path(params, prefix_a, prefix_b, specs, x):
     cur = jnp.concatenate([x, x], axis=1)
     for kind, idx, meta in specs:
         if kind == "conv":
-            w = jnp.concatenate(
-                [params[f"{prefix_a}.{idx}.weight"], params[f"{prefix_b}.{idx}.weight"]], axis=0
-            )
+            wa = params[f"{prefix_a}.{idx}.weight"]
+            wb = params[f"{prefix_b}.{idx}.weight"]
+            O, Ci = wa.shape[0], wa.shape[1]
+            # BLOCK-DIAGONAL dense weights, NOT feature_group_count=2: XLA
+            # TPU's grouped conv is pathological here (+150 ms over separate
+            # convs at 720p; measured v5e), while the dense zeros are free —
+            # these channel counts pad to the 128-lane MXU tile anyway.
+            w = jnp.zeros((2 * O, 2 * Ci) + wa.shape[2:], wa.dtype)
+            w = w.at[:O, :Ci].set(wa).at[O:, Ci:].set(wb)
             b = jnp.concatenate(
                 [params[f"{prefix_a}.{idx}.bias"], params[f"{prefix_b}.{idx}.bias"]], axis=0
             )
-            cur = L.conv2d(cur, w, b, stride=1, padding=1, groups=2)
+            cur = L.conv2d(cur, w, b, stride=1, padding=1)
         elif kind == "relu":
             cur = L.relu(cur)
         elif kind == "bn":
