@@ -254,7 +254,7 @@ def grid_sample_bilinear(x, grid):
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
         lin = (yc * W + xc).reshape(B, 1, -1)
-        v = jnp.take_along_axis(x.reshape(B, C, H * W), lin, axis=2)
+        v = jnp.take_along_axis(x.reshape(B, C, H * W), lin, axis=2, mode="promise_in_bounds")
         v = v.reshape(B, C, *yi.shape[1:])
         return v * inb[:, None].astype(x.dtype)
 

@@ -132,7 +132,9 @@ def _halfflow_splat(flow, planes, sigma_d):
             ix = jnp.clip(ixL + n, 0, W - 1)
             lin = (iy * W + ix).reshape(B, 1, H * W)
             contrib = jnp.where(valid[:, None], planes * g[:, None], 0.0)
-            out = out.at[bidx, kidx, lin].add(contrib.reshape(B, K, H * W))
+            out = out.at[bidx, kidx, lin].add(
+                contrib.reshape(B, K, H * W), mode="promise_in_bounds"
+            )
     return out.reshape(B, K, H, W)
 
 

@@ -88,7 +88,9 @@ def _scatter4(values, weights, valid, ixL, ixR, iyT, iyB, H, W):
     upd = payload.reshape(B, K + 1, Hs * Ws).transpose(0, 2, 1)
     lin = (iyT * W + ixL).reshape(B, Hs * Ws)
     base = jnp.zeros((B, H * W, K + 1), values.dtype)
-    base = base.at[jnp.arange(B)[:, None], lin].add(upd)
+    # indices are pre-clipped in-bounds; promising it removes the per-update
+    # bounds check from the scatter's scalar loop
+    base = base.at[jnp.arange(B)[:, None], lin].add(upd, mode="promise_in_bounds")
     S = base.transpose(0, 2, 1).reshape(B, K + 1, H, W)
     T = S + _shift_fold_last(S, axis=3)   # + (iyT, ixR)
     out = T + _shift_fold_last(T, axis=2)  # + (iyB, ixL/ixR)

@@ -37,7 +37,7 @@ def _gather_hw(image, iy, ix):
     B, C, H, W = image.shape
     lin = (iy * W + ix).reshape(B, 1, H * W)
     flat = image.reshape(B, C, H * W)
-    out = jnp.take_along_axis(flat, lin, axis=2)
+    out = jnp.take_along_axis(flat, lin, axis=2, mode="promise_in_bounds")
     return out.reshape(B, C, H, W)
 
 
