@@ -82,5 +82,59 @@ def main():
     }))
 
 
+def main_ve():
+    """Secondary benchmark: MEMC_Net_VE 7-frame enhancement windows/s
+    (Vimeo protocol geometry: 256x448 padded to 256x512, batch 1)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from memcnet_tpu import models as M
+
+    dtype = jnp.bfloat16 if "--fp32" not in sys.argv else jnp.float32
+    H, W = 256, 512
+    model = M.get_model("MEMC_Net_VE")
+    params = model.init_params(jr.PRNGKey(0))
+    params = {k: v.astype(dtype) if v.dtype == jnp.float32 else v for k, v in params.items()}
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.rand(1, 3, H, W), dtype) for _ in range(7)]
+
+    @jax.jit
+    def step(params, frames, acc):
+        out = model.forward(params, frames)
+        return jnp.clip(out, 0, 1), acc + jnp.sum(out.astype(jnp.float32))
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.time()
+    out, a0 = step(params, frames, acc)
+    float(a0)
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    iters = 10
+    best = float("inf")
+    for _rep in range(3):
+        acc = jnp.zeros((), jnp.float32)
+        f = list(frames)
+        t0 = time.time()
+        for _ in range(iters):
+            center, acc = step(params, f, acc)
+            f = f[:3] + [center] + f[4:]
+        final = float(acc)
+        best = min(best, (time.time() - t0) / iters)
+    assert np.isfinite(final), final
+    wps = 1.0 / best
+    print(f"per-window: {best * 1e3:.1f} ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "vimeo_ve_windows_per_s_per_chip",
+        "value": round(wps, 3),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / 2.0, 3),  # ~0.5 s/window Titan-X estimate
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--ve" in sys.argv:
+        main_ve()
+    else:
+        main()

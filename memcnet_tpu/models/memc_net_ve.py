@@ -68,21 +68,28 @@ class MEMCNetVE:
         filt = forward_single_path(params, "initScaleNets_filter1", self.filter_branch_specs, t)
 
         fs = self.filter_size
+        # ONE ctx call for all 7 frames (small-C conv is per-op-overhead
+        # bound); the 6 warps stay separate B-sized calls — batching them
+        # into one 6B gather measured SLOWER (63 vs 49 ms/window on v5e: the
+        # extra batch index dimension raises the per-descriptor gather cost).
+        neigh = jnp.concatenate(neighbors, axis=0)  # (6B, 3, H, W)
+        ctx_all = ctx_mod.forward(params, jnp.concatenate([neigh, center], axis=0))
+        ctx_n, ctx_c = ctx_all[: 6 * B], ctx_all[6 * B :]
         warped = []
         ctx_warped = []
-        for k, n in enumerate(neighbors):
-            fl = flow[k * B:(k + 1) * B]
-            ft = filt[k * B:(k + 1) * B]
-            # merged 3+64-ch warp (shared gather indices; see memc_net.py)
+        for k in range(6):
             m = filter_interp_warp(
-                jnp.concatenate((n, ctx_mod.forward(params, n)), 1), fl, ft, filter_size=fs
+                jnp.concatenate((neigh[k * B : (k + 1) * B], ctx_n[k * B : (k + 1) * B]), 1),
+                flow[k * B : (k + 1) * B],
+                filt[k * B : (k + 1) * B],
+                filter_size=fs,
             )
             warped.append(m[:, :3])
             ctx_warped.append(jax.lax.stop_gradient(m[:, 3:]))  # :474
 
         # re-interleave into temporal order with the center passthrough (:208-239)
         outs = warped[:3] + [center] + warped[3:]
-        ctxs = ctx_warped[:3] + [ctx_mod.forward(params, center)] + ctx_warped[3:]
+        ctxs = ctx_warped[:3] + [ctx_c] + ctx_warped[3:]
 
         flows6 = [flow[k * B:(k + 1) * B] for k in range(6)]
         filts6 = [filt[k * B:(k + 1) * B] for k in range(6)]

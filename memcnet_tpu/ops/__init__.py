@@ -1,7 +1,8 @@
-"""Warp-op library: XLA reference implementations + Pallas TPU kernels.
+"""Warp-op library: vectorized XLA implementations of the reference's native ops
+(ops.pallas documents why XLA is the fast path here and the planned r2 kernel).
 
 Inventory mapping to the reference's native op library (SURVEY.md section 2.1):
-  N1 FilterInterpolationLayer   -> warp.filter_interp_warp (+ ops.pallas fused kernel)
+  N1 FilterInterpolationLayer   -> warp.filter_interp_warp
   N2 FlowProjectionLayer        -> projection.flow_project
   N3 InterpolationLayer         -> warp.bilinear_warp
   N4 InterpolationChLayer       -> warp.bilinear_warp (channel-polymorphic)

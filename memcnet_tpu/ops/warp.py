@@ -4,8 +4,10 @@ These are the TPU-native equivalents of the reference's hand-written CUDA warp
 kernels.  Semantics are kept bit-faithful to the reference (validity gates, fill
 rules, clamping, gradient structure); the *implementation* is vectorized XLA
 (static-shape gathers), which autodiff turns into the same scatter-add backward
-the reference hand-derived.  A fused Pallas kernel for the hot op lives in
-``memcnet_tpu.ops.pallas``.
+the reference hand-derived.  ``memcnet_tpu.ops.pallas`` documents why these
+XLA formulations ARE the fast path on current hardware (the ops are bound by
+the gather/scatter engines, which XLA already saturates) and the planned
+halo-DMA kernel.
 
 Reference semantics ported from (file:line under /root/reference):
   * filter_interp_warp: my_package/src/my_lib_kernel.cu:1087-1218 (forward),

@@ -138,6 +138,32 @@ def warp_variants(dtype):
 
     timeit("split-C patch gathers (32+35)", v_split_channels, (img, flow, filt))
 
+    def v_unbatched_b1(image, flow, filt):
+        """Same patch gather but WITHOUT the vmap batch dimension (B=1
+        squeezed): batched gathers cost more per descriptor (VE measurement),
+        so a B=1 fast path may pay off."""
+        from memcnet_tpu.ops.warp import _gather_patches
+
+        B, C, H, W = image.shape
+        assert B == 1
+        fs, half, pad = 4, 2, 4
+        valid, iy, ix, weight = weights_and_indices(image, flow, filt)
+        img_p = jnp.pad(image, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+        img_cl = img_p.transpose(0, 2, 3, 1)[0]
+        N = H * W
+        iy_start = (iy + 1 - half + pad).reshape(N)
+        ix_start = (ix + 1 - half + pad).reshape(N)
+        patches = _gather_patches(img_cl, iy_start, ix_start, fs)[None]
+        acc = jnp.einsum("bnjic,bnji->bnc", patches, weight)
+        out = acc.transpose(0, 2, 1).reshape(B, C, H, W)
+        return jnp.where(valid[:, None], out, jax.lax.stop_gradient(image))
+
+    r = timeit("unbatched B=1 patch gather", v_unbatched_b1, (img, flow, filt))
+    if r is not None:
+        got = np.asarray(v_unbatched_b1(img, flow, filt), np.float32)
+        want = np.asarray(filter_interp_warp(img, flow, filt), np.float32)
+        print(f"  max diff vs current: {np.abs(got - want).max():.2e}", flush=True)
+
     def v_padded_c(image, flow, filt):
         """Pad C 67->128 so each gathered patch row is a full 128-lane tile."""
         B, C, H, W = image.shape
