@@ -78,7 +78,7 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="./HD720p-results")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
-    run(cfg, args.yuv, args.height, args.width, args.out_dir, args.frames)
+    return run(cfg, args.yuv, args.height, args.width, args.out_dir, args.frames)
 
 
 if __name__ == "__main__":

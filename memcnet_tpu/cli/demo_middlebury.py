@@ -64,7 +64,7 @@ def main(argv=None):
     cfg = config_from_args(args)
     if cfg.net_name == "MEMC_Net_VE":
         sys.exit("use demo_vimeo_ve for the enhancement model")
-    run(cfg, args.data_dir, args.gt_dir, args.out_dir)
+    return run(cfg, args.data_dir, args.gt_dir, args.out_dir)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,80 @@
+"""End-to-end CLI demo tests on synthetic datasets (CPU, tiny frames).
+
+These drive the actual entry points — argument parsing, dataset walking,
+padding, model forward, metric computation, artifact writing — the way the
+reference's demos were its de-facto integration tests (SURVEY.md section 4).
+"""
+
+import os
+
+import numpy as np
+import imageio.v2 as iio
+import pytest
+
+
+def write_png(path, h, w, seed):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    iio.imwrite(path, rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+
+
+@pytest.fixture()
+def middlebury_dirs(tmp_path):
+    data = tmp_path / "other-data"
+    gt = tmp_path / "other-gt-interp"
+    for i, name in enumerate(["Alpha", "Beta"]):
+        write_png(str(data / name / "frame10.png"), 64, 96, 10 * i)
+        write_png(str(data / name / "frame11.png"), 64, 96, 10 * i + 1)
+        write_png(str(gt / name / "frame10i11.png"), 64, 96, 10 * i + 2)
+    return str(data), str(gt)
+
+
+class TestDemoMiddlebury:
+    def test_end_to_end(self, middlebury_dirs, tmp_path):
+        from memcnet_tpu.cli import demo_middlebury
+
+        data, gt = middlebury_dirs
+        out = tmp_path / "results"
+        results = demo_middlebury.main([
+            "--data-dir", data, "--gt-dir", gt, "--out-dir", str(out),
+            "--net-name", "MEMC_Net_star",
+        ])
+        assert len(results) == 2
+        for name, ie, p in results:
+            assert np.isfinite(ie) and np.isfinite(p)
+        # artifacts: interpolated frame + diff image per sequence
+        uid_dir = next((out).iterdir())
+        for name in ("Alpha", "Beta"):
+            files = os.listdir(uid_dir / name)
+            assert "frame10i11.png" in files
+            assert any(f.startswith("frame10i11_diff") for f in files)
+
+
+class TestDemoHD720p:
+    def test_end_to_end(self, tmp_path, rng):
+        from memcnet_tpu.cli import demo_hd720p
+        from memcnet_tpu.data.yuv import YUVWrite
+
+        h, w = 64, 128
+        src = tmp_path / "in.yuv"
+        wr = YUVWrite(str(src))
+        for i in range(7):
+            wr.write(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+        wr.close()
+
+        out = tmp_path / "hd-results"
+        psnr_avg, ssim_avg = demo_hd720p.main([
+            "--yuv", str(src), "--height", str(h), "--width", str(w),
+            "--frames", "6", "--out-dir", str(out),
+            "--net-name", "MEMC_Net_star",
+        ])
+        assert np.isfinite(psnr_avg) and np.isfinite(ssim_avg)
+        uid_dir = next(out.iterdir())
+        files = os.listdir(uid_dir)
+        assert "in.yuv" in files
+        assert any(f.endswith("_psnr_Y.txt") for f in files)
+        assert any(f.endswith("_ssim_Y.txt") for f in files)
+        # output stream holds 2 frames (GT + reconstructed) per processed pair
+        n_pairs = len(open(uid_dir / [f for f in files if f.endswith("_psnr_Y.txt")][0]).readlines())
+        out_bytes = os.path.getsize(uid_dir / "in.yuv")
+        assert out_bytes == n_pairs * 2 * (h * w + 2 * (h // 2) * (w // 2))
