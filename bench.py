@@ -32,15 +32,22 @@ def main():
     from memcnet_tpu import models as M
 
     dtype = jnp.bfloat16 if "--fp32" not in sys.argv else jnp.float32
+    B = 1
+    name = "MEMC_Net_star"
+    for i, a in enumerate(sys.argv):
+        if a == "--batch":
+            B = int(sys.argv[i + 1])
+        if a == "--model":
+            name = sys.argv[i + 1]
 
     H, W = 768, 1344  # 720p padded to x128
-    model = M.get_model("MEMC_Net_star")
+    model = M.get_model(name)
     params = model.init_params(jr.PRNGKey(0))
     params = {k: v.astype(dtype) if v.dtype == jnp.float32 else v for k, v in params.items()}
 
     rng = np.random.RandomState(0)
-    x0 = jnp.asarray(rng.rand(1, 3, H, W), dtype)
-    x2 = jnp.asarray(rng.rand(1, 3, H, W), dtype)
+    x0 = jnp.asarray(rng.rand(B, 3, H, W), dtype)
+    x2 = jnp.asarray(rng.rand(B, 3, H, W), dtype)
 
     # The axon tunnel executes lazily (block_until_ready returns before the
     # device finishes), so the step chains its output into the next input AND
@@ -70,7 +77,7 @@ def main():
         final = float(acc)  # forces execution of the full chain
         best = min(best, (time.time() - t0) / iters)
     assert np.isfinite(final), final
-    dt = best
+    dt = best / B  # per frame
     fps = 1.0 / dt
     print(f"per-frame: {dt * 1e3:.1f} ms (checksum {final:.3e})", file=sys.stderr)
 

@@ -20,7 +20,7 @@ import imageio.v2 as iio
 from memcnet_tpu.cli.runner import PaddedInterp, build_model
 from memcnet_tpu.data import MiddleburyOther
 from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, to_uint8_frame
-from memcnet_tpu.utils.config import Config, add_config_args, config_from_args
+from memcnet_tpu.utils.config import add_config_args, config_from_args
 
 
 def run(cfg, data_dir, gt_dir, out_dir):

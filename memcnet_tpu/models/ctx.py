@@ -8,7 +8,6 @@ Key: ctxNet.conv1.weight (no bias).
 """
 
 import jax.numpy as jnp
-import jax.random as jr
 
 from memcnet_tpu.nn import layers as L
 from memcnet_tpu.nn import init as I

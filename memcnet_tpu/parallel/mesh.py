@@ -19,7 +19,7 @@ capped so each W shard stays >= 64 px (the FlowNetS downsampling footprint).
 import math
 
 import jax
-from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import AxisType, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices=None, *, max_tile=4, devices=None):
