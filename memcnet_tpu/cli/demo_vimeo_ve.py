@@ -71,7 +71,7 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args(argv)
     cfg = config_from_args(args, net_name="MEMC_Net_VE")
-    run(cfg, args.root, args.out_dir, args.limit)
+    return run(cfg, args.root, args.out_dir, args.limit)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,21 @@ class TestDemoHD720p:
         n_pairs = len(open(uid_dir / [f for f in files if f.endswith("_psnr_Y.txt")][0]).readlines())
         out_bytes = os.path.getsize(uid_dir / "in.yuv")
         assert out_bytes == n_pairs * 2 * (h * w + 2 * (h // 2) * (w // 2))
+
+
+class TestDemoVimeoVE:
+    @pytest.mark.skipif(
+        not os.path.isdir("/root/reference/vimeo_video_enhancement_test"),
+        reason="reference fixtures not mounted",
+    )
+    def test_end_to_end_one_sequence(self, tmp_path):
+        from memcnet_tpu.cli import demo_vimeo_ve
+
+        out = tmp_path / "ve-results"
+        p, s = demo_vimeo_ve.main([
+            "--root", "/root/reference/vimeo_video_enhancement_test",
+            "--out-dir", str(out), "--limit", "1", "--task", "denoise",
+        ])
+        assert np.isfinite(p) and np.isfinite(s)
+        assert (out / "metrics.txt").exists()
+        assert (out / "00001" / "0266" / "im4.png").exists()
