@@ -1,0 +1,304 @@
+"""Pallas TPU kernel for filter-interpolation warping (the system's hot op).
+
+Reference semantics: my_package/src/my_lib_kernel.cu:1087-1218 (forward).
+This kernel replaces the XLA patch-gather formulation of
+``memcnet_tpu.ops.warp.filter_interp_warp`` on the inference path.
+
+Why a kernel at all: the XLA formulation is bound by the TPU gather engine
+(~50 ns per patch descriptor and ~50-90 GB/s effective — PERF.md), because it
+fetches the fs*fs*C-byte tap footprint per output pixel from HBM.  For real
+video flows neighboring pixels' footprints overlap almost entirely, so the
+same bytes are fetched ~fs^2 times.  This kernel reads each source byte ~once:
+
+  * The output is tiled into (TH, TW) = (8, 128) pixel tiles (one vreg of
+    pixels; channels ride the lane dimension).
+  * Per tile, ONE strided DMA copies a (SH, SW, C) source window from HBM
+    into VMEM (double-buffered across the grid so the copy overlaps compute).
+    The window position is data-dependent (it follows the flow), so it is
+    supplied per-tile via scalar prefetch, computed cheaply in XLA.
+  * In VMEM, the per-pixel gather becomes a loop over the tile's occupied
+    integer flow-offset rectangle [dy_lo..dy_hi] x [dx_lo..dx_hi] (a dynamic
+    ``fori_loop``; smooth flows occupy 1-4 offsets per tile).  For each
+    offset, the fs^2 taps are uniform dynamic slices of the window, FMA'd
+    with the (precomputed) tap weights masked to the pixels at that offset.
+    Empty offsets cost two compares (``pl.when`` skips the taps).
+
+Exactness: the kernel is bit-exact to the reference semantics whenever every
+tile's offset spread (over its VALID pixels) fits the static window budget
+(SH - TH - fs + 2 rows, SW - TW - fs + 2 cols).  The caller checks the
+budget at runtime (``plan["ok"]``) and falls back to the XLA path for the
+whole frame otherwise (``jax.lax.cond``), so the public op stays exact for
+ALL inputs.  Out-of-range/invalid pixels (|f| >= frame/2 or landing outside)
+carry zeroed weights and are excluded from the window planning; the caller's
+passthrough select restores them, identical to the XLA path.
+
+Layout notes (v5e measurements drove these choices):
+  * Channels-last windows make each DMA row a contiguous SW*C-byte run and
+    put C on vector lanes, so tap FMAs vectorize across channels.
+  * The source image is padded generously (edge mode) so window starts never
+    need clamping for in-budget tiles — clamping would silently misalign the
+    offset->slice arithmetic (the tap slice for bucket dyk starts at row
+    dyk - dy_lo, which is only right if r0 == ty0 + dy_lo + PAD_TOP exactly).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output tile: one (sublane x lane) vreg of pixels.
+TH, TW = 8, 128
+# VMEM window per tile (rows x cols of the padded source, channels-last).
+SH, SW = 32, 192
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def _sublane(dtype):
+    """Sublane tile size for dtype — dynamic column offsets into tiled
+    memrefs (DMA starts, slab starts) must be multiples of this."""
+    return 32 // jnp.dtype(dtype).itemsize
+
+
+def _slab_width(dtype):
+    # covers rotate residue (< sublane) + fs-1 tap columns + TW
+    return TW + 2 * _sublane(dtype)
+
+
+def kernel_budgets(filter_size, dtype=jnp.float32):
+    """Max per-tile integer-offset spreads the kernel window can serve.
+
+    Rows: the bucket slab reads rows [dyk, dyk + TH + fs - 1).  Columns: the
+    slab start is rounded down to the dtype's sublane tile (Mosaic tiled-
+    memref alignment: 8 for f32, 16 for bf16) and spans _slab_width columns;
+    the worst-case DMA alignment residue eats into the column budget.
+    """
+    by = SH - TH - filter_size + 1
+    bx = SW - _slab_width(dtype)
+    return by, bx
+
+
+def _warp_kernel(fs, grid_n, out_dtype,
+                 r0f, c0f, sxf, nxf, nyxf,  # scalar prefetch (G,)
+                 img_hbm, wtap_ref, dyr_ref, dxr_ref,  # inputs
+                 out_ref,  # output (TH, TW, C)
+                 win_ref, acc_ref, sem):  # scratch
+    g = pl.program_id(0)
+
+    sub = _sublane(win_ref.dtype)
+
+    def start_dma(slot, gg):
+        # c0f entries are sublane-aligned by construction (launch side);
+        # assert it for Mosaic's tiled-memref slice legality check.
+        c = pl.multiple_of(c0f[gg], sub)
+        return pltpu.make_async_copy(
+            img_hbm.at[gg // grid_n, pl.ds(r0f[gg], SH), pl.ds(c, SW), :],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    # Double-buffered window fetch: wait for the window started at the
+    # previous grid step, after kicking off the next tile's window.
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(0, g).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        start_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    start_dma(slot, g).wait()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    nx = nxf[g]
+    sx = sxf[g]  # window content offset from the sublane-aligned DMA start
+    dyr = dyr_ref[:]  # (TH, TW) int32, offsets relative to the tile minimum
+    dxr = dxr_ref[:]
+
+    def bucket(k, _):
+        dyk = k // nx
+        dxk = k - dyk * nx
+        match = (dyr == dyk) & (dxr == dxk)
+
+        @pl.when(jnp.any(match))
+        def _():
+            m = match.astype(jnp.float32)
+            # Mosaic requires dynamic sublane (window column) offsets to be
+            # 8-aligned: load ONE aligned slab covering all fs^2 taps, rotate
+            # by the sub-8 residue (tpu.dynamic_rotate), then the taps are
+            # static slices.
+            dxs = dxk + sx
+            width = _slab_width(win_ref.dtype)
+            qa = pl.multiple_of((dxs // sub) * sub, sub)
+            r = dxs - qa
+            slab = win_ref[slot, pl.ds(dyk, TH + fs - 1), pl.ds(qa, width), :]
+            # f32 before the rotate: tpu.dynamic_rotate is 32-bit only, and
+            # the FMAs accumulate in f32 regardless.  The shift is the
+            # NON-NEGATIVE equivalent of -r: dynamic negative rotate amounts
+            # miscompile silently on v5e (measured; static ones are rejected
+            # with "shift must be non-negative").
+            slab = pltpu.roll(slab.astype(jnp.float32), width - r, axis=1)
+            a = acc_ref[:]
+            for j in range(fs):
+                for i in range(fs):
+                    w = wtap_ref[j * fs + i] * m  # (TH, TW)
+                    tap = slab[j:j + TH, i:i + TW, :]
+                    a = a + w[:, :, None] * tap
+            acc_ref[:] = a
+
+        return 0
+
+    jax.lax.fori_loop(0, nyxf[g], bucket, 0)
+    out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def plan_tiles(dy, dx, valid, filter_size, dtype=jnp.float32):
+    """Per-tile offset stats for the kernel (all XLA reductions, ~free).
+
+    dy/dx: (B, H, W) int32 integer tap-base offsets (tap (j, i) of pixel
+    (y, x) reads source (y + dy + j, x + dx + i)); valid: (B, H, W) bool.
+    Invalid pixels are excluded from the min/max so an out-of-range flow at
+    a frame border cannot blow the budget of an otherwise-smooth tile.
+    """
+    fs = filter_size
+    B, H, W = dy.shape
+    Hp, Wp = _ceil_to(H, TH), _ceil_to(W, TW)
+    pad = ((0, 0), (0, Hp - H), (0, Wp - W))
+    dy = jnp.pad(dy, pad)
+    dx = jnp.pad(dx, pad)
+    valid = jnp.pad(valid, pad)  # padded pixels -> False
+    nth, ntw = Hp // TH, Wp // TW
+
+    big = jnp.int32(1 << 20)
+
+    def tile_minmax(a):
+        lo = jnp.where(valid, a, big).reshape(B, nth, TH, ntw, TW).min(axis=(2, 4))
+        hi = jnp.where(valid, a, -big).reshape(B, nth, TH, ntw, TW).max(axis=(2, 4))
+        return lo, hi
+
+    dy_lo, dy_hi = tile_minmax(dy)
+    dx_lo, dx_hi = tile_minmax(dx)
+    ny = jnp.maximum(dy_hi - dy_lo + 1, 0)  # 0 for tiles with no valid pixel
+    nx = jnp.maximum(dx_hi - dx_lo + 1, 0)
+    by, bx = kernel_budgets(fs, dtype)
+    ok = jnp.all(ny <= by + 1) & jnp.all(nx <= bx + 1)
+
+    rep = lambda t: jnp.repeat(jnp.repeat(t, TH, axis=1), TW, axis=2)
+    # Invalid pixels get a sentinel relative offset no bucket ever matches
+    # (their weights are zero anyway; this also keeps them out by identity).
+    dy_rel = jnp.where(valid, dy - rep(dy_lo), -1)
+    dx_rel = jnp.where(valid, dx - rep(dx_lo), -1)
+    return dict(
+        dy_lo=dy_lo, dx_lo=dx_lo, ny=ny, nx=nx, ok=ok,
+        dy_rel=dy_rel.astype(jnp.int32), dx_rel=dx_rel.astype(jnp.int32),
+        nth=nth, ntw=ntw, Hp=Hp, Wp=Wp,
+    )
+
+
+# Image padding margins (beyond the fs-wide edge replication the reference's
+# per-tap border clamp needs).  Chosen so window starts
+# r0 = ty0 + dy_lo + PAD_TOP are provably within [0, HP - SH] for every tile
+# with a valid pixel:
+#   * y + dy = iy + 1 - half >= 1 - half >= -1 for iy >= 0, and the tile
+#     minimum can sit up to TH-1 rows above its pixel, so
+#     ty0 + dy_lo >= -1 - (TH - 1) - half and PAD_TOP = TH + fs covers it.
+#   * ty0 + dy_lo <= y + dy <= H, so PAD_BOT = SH + fs keeps r0 + SH <= HP.
+# Columns are analogous with TW/SW.
+def _pads(fs):
+    return (TH + fs, SH + fs), (TW + fs, SW + fs)
+
+
+def filter_interp_warp_tiles(image_nhwc, wtap, plan, *, filter_size=4,
+                             interpret=False):
+    """Run the tiled kernel.
+
+    image_nhwc: (B, H, W, C) unpadded source; wtap: (B, fs*fs, H, W) fused
+    tap weights (filt * quadrant blend, zeroed where invalid); plan: output
+    of ``plan_tiles``.  Returns (B, H, W, C) accumulator in image dtype
+    (the caller applies the validity/passthrough select).
+    """
+    fs = filter_size
+    B, H, W, C = image_nhwc.shape
+    nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
+    (pt, pb), (pleft, pr) = _pads(fs)
+    # Channels pad to the 128-lane tile: Mosaic's HBM memref slicing (the
+    # window DMA) requires the minormost slice extent to be a lane multiple.
+    Cp = _ceil_to(C, 128)
+    img_p = jnp.pad(image_nhwc, ((0, 0), (pt, pb), (pleft, pr), (0, Cp - C)),
+                    mode="edge")
+    HP, WP = img_p.shape[1], img_p.shape[2]
+
+    ty0 = jnp.arange(nth, dtype=jnp.int32)[None, :, None] * TH
+    tx0 = jnp.arange(ntw, dtype=jnp.int32)[None, None, :] * TW
+    # In-budget tiles never hit these clips (see _pads); the clip guards
+    # valid-pixel-free tiles whose sentinel minima are huge.
+    r0 = jnp.clip(ty0 + plan["dy_lo"] + pt, 0, HP - SH)
+    c0 = jnp.clip(tx0 + plan["dx_lo"] + pleft, 0, WP - SW)
+    # DMA column starts must be sublane-aligned (HBM/VMEM memrefs are
+    # (sublane,128)-tiled per dtype); the residue rides into the kernel's
+    # bucket column math.
+    sub = _sublane(image_nhwc.dtype)
+    c0a = (c0 // sub) * sub
+    sx = c0 - c0a
+
+    G = B * nth * ntw
+    grid_n = nth * ntw
+    r0f = r0.reshape(G).astype(jnp.int32)
+    c0f = c0a.reshape(G).astype(jnp.int32)
+    sxf = sx.reshape(G).astype(jnp.int32)
+    nxf = plan["nx"].reshape(G).astype(jnp.int32)
+    nyxf = (plan["ny"] * plan["nx"]).reshape(G).astype(jnp.int32)
+
+    pad_hw = ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
+    wtap_p = jnp.pad(wtap.astype(jnp.float32), pad_hw)
+
+    def tidx(g):
+        b = g // grid_n
+        r = g - b * grid_n
+        return b, r // ntw, r - (r // ntw) * ntw
+
+    def wtap_idx(g, *_refs):
+        b, th, tw = tidx(g)
+        return b, 0, th, tw
+
+    def map_idx(g, *_refs):
+        return tidx(g)
+
+    def out_idx(g, *_refs):
+        b, th, tw = tidx(g)
+        return b, th, tw, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # img_p stays in HBM
+            pl.BlockSpec((1, fs * fs, TH, TW), wtap_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), map_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), map_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW, Cp), out_idx, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, SH, SW, Cp), img_p.dtype),
+            pltpu.VMEM((TH, TW, Cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kern(r0s, c0s, sxs, nxs, nyxs, img, wt, dyr, dxr, out, win, acc, sem):
+        _warp_kernel(fs, grid_n, image_nhwc.dtype,
+                     r0s, c0s, sxs, nxs, nyxs, img,
+                     wt.at[0], dyr.at[0], dxr.at[0], out.at[0],
+                     win, acc, sem)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, Cp), image_nhwc.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(r0f, c0f, sxf, nxf, nyxf, img_p, wtap_p, plan["dy_rel"], plan["dx_rel"])
+    return out[:, :H, :W, :C]

@@ -26,12 +26,22 @@ Reference semantics ported from (file:line under /root/reference):
     single channel-agnostic function covers both.
 
 Array layout is NCHW throughout to match the model stack's parameter layout.
+
+Fast path: on TPU backends, ``filter_interp_warp`` dispatches to the Pallas
+window kernel in ``memcnet_tpu.ops.pallas.warp_kernel`` (exact; falls back to
+the XLA formulation per-frame when a tile's flow spread exceeds the kernel's
+window budget).  Training gradients always flow through the XLA formulation
+(custom_vjp below), so backward semantics are unchanged.  Set
+``MEMCNET_NO_PALLAS=1`` to disable the kernel for bisecting.
 """
 
-from functools import partial
+import os
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+
+from memcnet_tpu.ops.pallas import warp_kernel as _wk
 
 
 def _gather_hw(image, iy, ix):
@@ -80,24 +90,9 @@ def _gather_patches(image_cl_padded, iy_start, ix_start, fs):
     )
 
 
-@partial(jax.jit, static_argnames=("filter_size",))
-def filter_interp_warp(image, flow, filt, *, filter_size=4):
-    """Adaptive filter-interpolation warping (the paper's core op).
-
-    Args:
-      image: (B, C, H, W) source frame (any channel count — used with C=3 images
-        and C=64 contexts, cf. my_lib_cuda.c:608-609).
-      flow:  (B, 2, H, W) flow, channel 0 = x, channel 1 = y.
-      filt:  (B, filter_size**2, H, W) per-pixel kernel weights
-        (filter_size = sqrt(C3), my_lib_cuda.c:619-620).
-    Returns:
-      (B, C, H, W) warped frame; invalid pixels pass `image` through
-      (gradient-stopped, matching the reference backward).
-    """
+def _valid_and_taps(image, flow, filter_size):
+    """Shared preamble: validity gate, integer tap base, subpixel fractions."""
     B, C, H, W = image.shape
-    fs = filter_size
-    assert filt.shape[1] == fs * fs, (filt.shape, fs)
-
     x2, y2, fx, fy = _base_coords(flow)
     valid = (
         (x2 >= 0.0)
@@ -113,7 +108,17 @@ def filter_interp_warp(image, flow, filt, *, filter_size=4):
     iy = jnp.clip(y2.astype(jnp.int32), 0, H - 1)
     alpha = x2 - ix.astype(x2.dtype)
     beta = y2 - iy.astype(y2.dtype)
+    return valid, ix, iy, alpha, beta
 
+
+def _xla_forward(image, flow, filt, filter_size):
+    """XLA patch-gather formulation (exact reference semantics; also the
+    gradient-defining path — see filter_interp_warp)."""
+    B, C, H, W = image.shape
+    fs = filter_size
+    assert filt.shape[1] == fs * fs, (filt.shape, fs)
+
+    valid, ix, iy, alpha, beta = _valid_and_taps(image, flow, fs)
     half = fs // 2
     N = H * W
 
@@ -144,6 +149,107 @@ def filter_interp_warp(image, flow, filt, *, filter_size=4):
     # Passthrough on invalid, with its gradient dropped (reference backward has
     # no else-branch: my_lib_kernel.cu:1248-1515 only handles the valid case).
     return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
+
+
+def _fused_tap_weights(filt, alpha, beta, valid, filter_size):
+    """wtap[j*fs+i] = filt[j*fs+i] * (beta if j>=half else 1-beta)
+    * (alpha if i>=half else 1-alpha), zeroed where invalid — the quadrant
+    blend of my_lib_kernel.cu:1132-1188 folded into per-tap planes."""
+    fs, half = filter_size, filter_size // 2
+    B, _, H, W = filt.shape
+    jj = jnp.arange(fs)[None, :, None, None]
+    a32, b32 = alpha.astype(jnp.float32), beta.astype(jnp.float32)
+    wy = jnp.where(jj >= half, b32[:, None], 1.0 - b32[:, None])  # (B,fs,H,W)
+    wx = jnp.where(jj >= half, a32[:, None], 1.0 - a32[:, None])
+    wtap = filt.astype(jnp.float32).reshape(B, fs, fs, H, W) * wy[:, :, None] * wx[:, None]
+    wtap = jnp.where(valid[:, None, None], wtap, 0.0)
+    return wtap.reshape(B, fs * fs, H, W)
+
+
+def _fast_forward(image, flow, filt, filter_size, interpret=False):
+    """Pallas window-kernel forward with whole-frame XLA fallback (exact)."""
+    B, C, H, W = image.shape
+    fs, half = filter_size, filter_size // 2
+    assert filt.shape[1] == fs * fs, (filt.shape, fs)
+
+    valid, ix, iy, alpha, beta = _valid_and_taps(image, flow, fs)
+    ys = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    dy = iy + (1 - half) - ys  # tap (j,i) reads source (y+dy+j, x+dx+i)
+    dx = ix + (1 - half) - xs
+    plan = _wk.plan_tiles(dy, dx, valid, fs, image.dtype)
+    wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
+    img_nhwc = image.transpose(0, 2, 3, 1)
+
+    def pallas_branch(_):
+        acc = _wk.filter_interp_warp_tiles(
+            img_nhwc, wtap, plan, filter_size=fs, interpret=interpret
+        )
+        return acc.transpose(0, 3, 1, 2)
+
+    def xla_branch(_):
+        # Recomputes the select too, but where(valid, ...) below is idempotent.
+        return _xla_forward(image, flow, filt, fs)
+
+    acc = jax.lax.cond(plan["ok"], pallas_branch, xla_branch, None)
+    return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
+
+
+@lru_cache(maxsize=None)
+def _fast_op(filter_size):
+    """custom_vjp wrapper: inference runs the Pallas forward; differentiation
+    runs the XLA forward AND backward (bit-identical to the reference-parity
+    gradient tests — the hand-derived reference backward is my_lib_kernel.cu:
+    1220-1518, reproduced by autodiff of _xla_forward)."""
+
+    @jax.custom_vjp
+    def op(image, flow, filt):
+        return _fast_forward(image, flow, filt, filter_size)
+
+    def fwd(image, flow, filt):
+        return _xla_forward(image, flow, filt, filter_size), (image, flow, filt)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda a, b, c: _xla_forward(a, b, c, filter_size), *res
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def _use_pallas():
+    if os.environ.get("MEMCNET_NO_PALLAS"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+@partial(jax.jit, static_argnames=("filter_size",))
+def filter_interp_warp(image, flow, filt, *, filter_size=4):
+    """Adaptive filter-interpolation warping (the paper's core op).
+
+    Args:
+      image: (B, C, H, W) source frame (any channel count — used with C=3 images
+        and C=64 contexts, cf. my_lib_cuda.c:608-609).
+      flow:  (B, 2, H, W) flow, channel 0 = x, channel 1 = y.
+      filt:  (B, filter_size**2, H, W) per-pixel kernel weights
+        (filter_size = sqrt(C3), my_lib_cuda.c:619-620).
+    Returns:
+      (B, C, H, W) warped frame; invalid pixels pass `image` through
+      (gradient-stopped, matching the reference backward).
+
+    On TPU the forward runs the Pallas window kernel (ops/pallas/warp_kernel.py)
+    — exact, with per-frame XLA fallback for over-budget flow spreads; gradients
+    always use the XLA formulation.
+    """
+    if _use_pallas():
+        return _fast_op(filter_size)(image, flow, filt)
+    return _xla_forward(image, flow, filt, filter_size)
 
 
 @jax.jit

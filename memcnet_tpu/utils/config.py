@@ -43,11 +43,47 @@ class Config:
         return run_dir
 
 
+_COERCERS = {
+    "int": int,
+    "float": float,
+    "str": str,
+    "bool": lambda v: v if isinstance(v, bool) else v.lower() in ("1", "true", "yes"),
+    "Optional[str]": str,
+    "Optional[int]": int,
+    "Optional[float]": float,
+    # comma-separated CLI form, e.g. --alpha 1.0,0.0 / --task-param 4
+    "Sequence[float]": lambda v: v if isinstance(v, (tuple, list))
+    else tuple(float(x) for x in str(v).split(",") if x != ""),
+    "Sequence[int]": lambda v: v if isinstance(v, (tuple, list))
+    else tuple(int(x) for x in str(v).split(",") if x != ""),
+}
+
+
+def _type_key(t):
+    """Normalize a dataclass field annotation (object or string form) to the
+    _COERCERS key."""
+    if isinstance(t, str):
+        return t.replace("typing.", "")
+    if getattr(t, "__origin__", None) is None and hasattr(t, "__name__"):
+        return t.__name__  # plain classes: int, float, str, bool
+    return str(t).replace("typing.", "")  # typing generics keep their args
+
+
+def _coerce(field, value):
+    ty = _COERCERS.get(_type_key(field.type))
+    if ty is None:
+        raise TypeError(
+            f"Config field {field.name!r} has unhandled type {field.type!r}; "
+            "add a coercer to utils.config._COERCERS"
+        )
+    return ty(value)
+
+
 def add_config_args(parser):
     for f in dataclasses.fields(Config):
         name = "--" + f.name.replace("_", "-")
         if f.type == "bool":
-            parser.add_argument(name, action="store_true")
+            parser.add_argument(name, default=None, choices=("true", "false"))
         else:
             parser.add_argument(name, default=None)
     return parser
@@ -59,7 +95,6 @@ def config_from_args(args, **overrides):
         v = getattr(args, f.name, None)
         if v is None:
             continue
-        ty = {"int": int, "float": float, "str": str}.get(f.type, None)
-        kw[f.name] = ty(v) if ty else v
+        kw[f.name] = _coerce(f, v)
     kw.update(overrides)
     return Config(**kw)

@@ -1,0 +1,103 @@
+"""Pallas warp-kernel tests (interpret mode — CI runs on the CPU platform).
+
+The kernel (memcnet_tpu/ops/pallas/warp_kernel.py) must reproduce the
+reference semantics (my_lib_kernel.cu:1087-1218) exactly: it is checked both
+against the XLA formulation and against the numpy loop oracle, across the
+flow regimes that exercise its window planning (smooth, uniform-large,
+invalid/passthrough, over-budget fallback, ragged tile edges).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from memcnet_tpu.ops import warp as W
+from memcnet_tpu.ops.pallas import warp_kernel as wk
+from oracles import filter_interp_oracle
+
+
+def _check(rng, B, C, H, Wd, flow, fs=4, atol=2e-5):
+    image = rng.rand(B, C, H, Wd).astype(np.float32)
+    filt = rng.rand(B, fs * fs, H, Wd).astype(np.float32)
+    flow = flow.astype(np.float32)
+    got = np.asarray(W._fast_forward(image, flow, filt, fs, interpret=True))
+    want = filter_interp_oracle(image, flow, filt, filter_size=fs)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
+
+
+class TestPallasWarpKernel:
+    def test_zero_flow_identity_regimes(self, rng):
+        _check(rng, 1, 3, 16, 144, np.zeros((1, 2, 16, 144)))
+
+    def test_smooth_flow(self, rng):
+        H, Wd = 24, 136
+        ys, xs = np.meshgrid(np.arange(H), np.arange(Wd), indexing="ij")
+        fx = 5 * np.sin(2 * np.pi * ys / H)
+        fy = 4 * np.cos(2 * np.pi * xs / Wd)
+        _check(rng, 2, 3, H, Wd, np.broadcast_to(np.stack([fx, fy])[None], (2, 2, H, Wd)))
+
+    def test_uniform_large_flow(self, rng):
+        # Large uniform offsets cost nothing: only the per-tile SPREAD must
+        # fit the window budget.
+        _check(rng, 1, 5, 32, 256, np.full((1, 2, 32, 256), 17.3))
+
+    def test_out_of_range_passthrough(self, rng):
+        _check(rng, 1, 3, 16, 128, np.full((1, 2, 16, 128), 500.0))
+
+    def test_over_budget_falls_back_exactly(self, rng):
+        # randn*40 blows every tile budget -> whole-frame XLA fallback
+        flow = rng.randn(1, 2, 64, 128) * 40.0
+        _check(rng, 1, 3, 64, 128, flow)
+
+    def test_mixed_validity_tile(self, rng):
+        # a tile mixing valid smooth pixels with invalid ones must not blow
+        # the budget (invalid pixels are excluded from the window planning)
+        flow = np.ones((1, 2, 16, 128), np.float32) * 2.0
+        flow[0, :, :4, :16] = 999.0  # invalid corner
+        _check(rng, 1, 3, 16, 128, flow)
+
+    def test_filter_size_2(self, rng):
+        _check(rng, 1, 3, 16, 128, rng.randn(1, 2, 16, 128) * 2.0, fs=2)
+
+    def test_ragged_tiles_and_channels(self, rng):
+        # H, W not multiples of the (8, 128) tile; C=67 (the fused
+        # image+context warp of MEMC_Net_star)
+        _check(rng, 1, 67, 13, 150, rng.randn(1, 2, 13, 150) * 1.5)
+
+    def test_batched(self, rng):
+        _check(rng, 3, 4, 16, 128, rng.randn(3, 2, 16, 128) * 2.0)
+
+    def test_budgets_match_window(self):
+        by, bx = wk.kernel_budgets(4)
+        # row slab must fit: spread + TH + fs - 1 <= SH
+        assert by + wk.TH + 4 - 1 <= wk.SH
+        # aligned column slab must fit: 8*floor((spread+7)/8) + TW + 16 <= SW
+        assert 8 * ((bx + 7) // 8) + wk.TW + 16 <= wk.SW
+
+
+class TestFastOpGradients:
+    """The custom_vjp routes differentiation through the XLA formulation —
+    grads of the fast op must equal grads of the XLA op exactly."""
+
+    def test_grads_equal_xla(self, rng):
+        B, C, H, Wd = 1, 2, 8, 16
+        image = rng.rand(B, C, H, Wd).astype(np.float32)
+        flow = (rng.rand(B, 2, H, Wd).astype(np.float32) - 0.5) * 3
+        filt = rng.rand(B, 16, H, Wd).astype(np.float32)
+        op = W._fast_op(4)
+
+        def loss_fast(a, b, c):
+            return jnp.sum(op(a, b, c) ** 2)
+
+        def loss_xla(a, b, c):
+            return jnp.sum(W._xla_forward(a, b, c, 4) ** 2)
+
+        g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(image, flow, filt)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(image, flow, filt)
+        for a, b in zip(g_fast, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def test_dispatch_is_xla_on_cpu(self):
+        # CI runs on the CPU platform: the public op must not route to Pallas
+        assert not W._use_pallas()
