@@ -24,12 +24,30 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (repo-local, gitignored): a serving
+    process restart should not pay the full cold compile again.  Cold-compile
+    reduction itself is tracked in PERF.md (chunked warp fallback)."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:  # cache is an optimization, never a failure
+        print(f"compile cache disabled: {e}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import jax.random as jr
 
     from memcnet_tpu import models as M
+
+    _enable_compile_cache()
 
     dtype = jnp.bfloat16 if "--fp32" not in sys.argv else jnp.float32
     B = 1

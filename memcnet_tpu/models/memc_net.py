@@ -91,14 +91,20 @@ class MEMCNet:
     # -- forward --------------------------------------------------------------
 
     def _flows(self, params, x0, x2, fillhole):
-        # both directions batched into one FlowNetS call and one projection
+        # Both directions batched into one FlowNetS call and one projection.
+        # The direction axis is interleaved sample-major (B, 2, ...) so each
+        # sample's two directions live on the same DP shard: a direction-major
+        # concat would make off[:B] / off[B:] reshard the batch axis (GSPMD
+        # emits an all-to-all for that slice; it aborted the 8-device CPU
+        # dryrun).  Per-sample results are order-independent.
         B = x0.shape[0]
-        pairs = jnp.concatenate(
-            [jnp.concatenate((x0, x2), axis=1), jnp.concatenate((x2, x0), axis=1)], axis=0
-        )
+        p01 = jnp.concatenate((x0, x2), axis=1)
+        p10 = jnp.concatenate((x2, x0), axis=1)
+        pairs = jnp.stack((p01, p10), axis=1).reshape((2 * B,) + p01.shape[1:])
         f = _forward_flownets(params, pairs)
         off = flow_project(f, fillhole=fillhole)
-        return off[:B], off[B:]
+        off = off.reshape((B, 2) + off.shape[1:])
+        return off[:, 0], off[:, 1]
 
     def _filters(self, params, pair):
         t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pair)
@@ -147,10 +153,14 @@ class MEMCNet:
             # ms at 720p).  Context slices are gradient-stopped afterwards
             # (MEMC_Net_star.py:285).
             # one batched ctx call for both frames (per-op overhead dominates
-            # this single small-C conv; B=2 costs the same as B=1)
+            # this single small-C conv; B=2 costs the same as B=1); frame axis
+            # interleaved sample-major for the same DP-shard reason as _flows
             B = x0.shape[0]
-            cc = ctx_mod.forward(params, jnp.concatenate((x0, x2), axis=0))
-            c0, c2 = cc[:B], cc[B:]
+            cc = ctx_mod.forward(
+                params, jnp.stack((x0, x2), axis=1).reshape((2 * B,) + x0.shape[1:])
+            )
+            cc = cc.reshape((B, 2) + cc.shape[1:])
+            c0, c2 = cc[:, 0], cc[:, 1]
             m0 = filter_interp_warp(jnp.concatenate((x0, c0), 1), offs[0], filters[0], filter_size=fs)
             m1 = filter_interp_warp(jnp.concatenate((x2, c2), 1), offs[1], filters[1], filter_size=fs)
             w0, ctx0 = m0[:, :3], jax.lax.stop_gradient(m0[:, 3:])
@@ -212,12 +222,14 @@ class MEMCNetS(MEMCNet):
         return spynet.init_params(key, dtype=dtype)
 
     def _flows(self, params, x0, x2, fillhole):
+        # direction axis interleaved sample-major (see MEMCNet._flows)
         B = x0.shape[0]
-        first = jnp.concatenate([x0, x2], axis=0)
-        second = jnp.concatenate([x2, x0], axis=0)
+        first = jnp.stack((x0, x2), axis=1).reshape((2 * B,) + x0.shape[1:])
+        second = jnp.stack((x2, x0), axis=1).reshape((2 * B,) + x0.shape[1:])
         f = spynet.forward(params, first, second) / 2.0
         off = flow_project(f, fillhole=fillhole)
-        return off[:B], off[B:]
+        off = off.reshape((B, 2) + off.shape[1:])
+        return off[:, 0], off[:, 1]
 
     def _occlusions(self, params, pair, filters):
         o = filters[0][:, :1]

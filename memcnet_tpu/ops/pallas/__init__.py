@@ -1,20 +1,21 @@
 """Pallas TPU kernels for the warp-op library.
 
-Current state (r1, measured on v5e at 720p — see PERF.md and
-tools/bench_pallas_scatter.py):
+Two production kernels (both exact, both with in-graph XLA fallback for
+inputs outside their plan budgets, both gradient-complete via custom_vjp at
+their call sites):
 
-* The hot ops are NOT compute-bound; they are bound by the TPU's
-  gather/scatter engines, which XLA's native gather/scatter already drive at
-  their practical rates (patch gather ~80 GB/s; scatter ~45 ns/update).
-* A Pallas dynamic-sublane scatter-accumulate prototype reached 70 ms vs
-  XLA's 90 ms for the projection's 2M updates (1.3x) — per-element loop
-  overhead bound, not adopted.
-* The planned r2 kernel is a halo-DMA warp: per output row-band, async-DMA
-  the source rows within a flow-bounded halo into VMEM double buffers and
-  run the patch reduction on-chip, cutting the gather's HBM traffic from
-  16*C bytes/pixel to ~C bytes/pixel for smooth flows.
+* ``warp_kernel`` (r2) — halo-DMA filter-interpolation warp.  Replaces the
+  XLA patch gather (~50 ns/descriptor, 16*C bytes/pixel of HBM traffic) with
+  per-tile windowed DMA + offset-bucket FMAs: each source byte is read ~once
+  for smooth flows.  Fast path of ``memcnet_tpu.ops.warp.filter_interp_warp``.
+* ``scatter_kernel`` (r3) — banded bucket scatter for flow projection.
+  Replaces the XLA scatter-add (~45-65 ns/update scalar loop, ~90 ms at 720p)
+  with per-band offset buckets: masked payloads lane/sublane-rolled into
+  window accumulators, then ONE ~1k-descriptor block scatter to combine.
+  Fast path of ``memcnet_tpu.ops.projection._scatter4``.
 
-The vectorized XLA implementations in memcnet_tpu.ops.{warp,projection} are
-the production path; the numpy oracles in tests/oracles.py define the
-semantics any kernel added here must reproduce.
+The vectorized XLA implementations in memcnet_tpu.ops.{warp,projection}
+remain the gradient-defining formulations and the non-TPU path; the numpy
+oracles in tests/oracles.py define the semantics both kernels must reproduce
+(tests/test_pallas_warp.py, tests/test_pallas_scatter.py).
 """

@@ -28,7 +28,7 @@ depth-weighted projection — and WeightedFlowProjectionLayer (:2518-3024) —
 brightness-constancy-gated projection. Both reuse the same scatter machinery.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -68,30 +68,98 @@ def _shift_fold_last(a, axis):
     return shifted.at[tuple(last)].add(a[tuple(last)])
 
 
+def _base_scatter_xla(payload, lin, H, W):
+    """One XLA scatter-add of all payload planes into the base cells.
+
+    TPU note: XLA scatter costs ~65 ns per update descriptor (a scalar-core
+    loop; measured v5e), so descriptor count is everything: channels-last so
+    each update writes one contiguous (K+1)-slice; indices are pre-clipped
+    in-bounds, so promising it removes the per-update bounds check."""
+    B, P = payload.shape[:2]
+    upd = payload.reshape(B, P, -1).transpose(0, 2, 1)
+    base = jnp.zeros((B, H * W, P), payload.dtype)
+    base = base.at[jnp.arange(B)[:, None], lin].add(upd, mode="promise_in_bounds")
+    return base.transpose(0, 2, 1).reshape(B, P, H, W)
+
+
+@lru_cache(maxsize=None)
+def _fast_base_scatter(H, W, interpret=False):
+    """custom_vjp base scatter: forward runs the Pallas banded bucket-scatter
+    (ops/pallas/scatter_kernel.py) with in-graph whole-batch XLA fallback for
+    over-budget flows; backward is the exact transpose of the linear
+    scatter-add (a gather of the cotangent at the landing cells — identical
+    to autodiff of the XLA path, and to the reference backward's
+    grad-at-landing-cells structure, my_lib_kernel.cu:1837-1901)."""
+    from memcnet_tpu.ops.pallas import scatter_kernel as sk
+
+    def impl(payload, dy, dx, valid, lin):
+        plan = sk.plan_bands(dy, dx, valid)
+
+        def pallas_branch(_):
+            out = sk.scatter_bands(payload.astype(jnp.float32), plan,
+                                   interpret=interpret)
+            return out.astype(payload.dtype)
+
+        def xla_branch(_):
+            return _base_scatter_xla(payload, lin, H, W)
+
+        return jax.lax.cond(plan["ok"], pallas_branch, xla_branch, None)
+
+    @jax.custom_vjp
+    def op(payload, dy, dx, valid, lin):
+        return impl(payload, dy, dx, valid, lin)
+
+    def fwd(payload, dy, dx, valid, lin):
+        return impl(payload, dy, dx, valid, lin), lin
+
+    def bwd(lin, g):
+        B, P = g.shape[:2]
+        gp = jnp.take_along_axis(
+            g.reshape(B, P, H * W), lin[:, None, :], axis=2,
+            mode="promise_in_bounds",
+        )
+        # the fast path requires the source grid == target grid (H, W)
+        return gp.reshape(B, P, H, W), None, None, None, None
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_FORCE_INTERPRET = False  # tests: run the Pallas scatter path interpreted on CPU
+
+
+def _scatter_use_pallas(Hs, Ws, H, W):
+    from memcnet_tpu.ops.pallas.scatter_kernel import TH
+    from memcnet_tpu.ops.warp import _use_pallas
+
+    if Hs != H or Ws != W or Hs % TH != 0:
+        return False
+    return _FORCE_INTERPRET or _use_pallas()
+
+
 def _scatter4(values, weights, valid, ixL, ixR, iyT, iyB, H, W):
     """Scatter-add `values` (B,K,H,W) and `weights` (B,H,W) into the 4 landing
     neighbors. Returns (out (B,K,H,W), count (B,H,W)).
 
-    TPU note: XLA scatter costs ~65 ns per update descriptor (a scalar-core
-    loop; measured v5e), so descriptor count is everything.  The 4 landing
-    cells are the base cell (iyT, ixL) plus CONSTANT (0/1, 0/1) offsets, so
-    only the base scatter is a real scatter — one call, all K+1 payload
-    planes in a single contiguous update window — and the three neighbors
-    are border-folding shifts of its result (4x fewer updates; measured
-    260 ms -> ~70 ms for B=2 at 720p)."""
+    Only the base scatter is a real scatter — the 4 landing cells are the
+    base cell (iyT, ixL) plus CONSTANT (0/1, 0/1) offsets, so the three
+    neighbors are border-folding shifts of its result (4x fewer updates;
+    260 ms -> ~70 ms for B=2 at 720p).  On TPU the base scatter itself runs
+    the Pallas banded bucket-scatter (vectorized shifted adds instead of
+    XLA's ~65 ns/update scalar loop) with exact whole-batch fallback."""
     B, K, Hs, Ws = values.shape  # source grid may be narrower than the
     # (H, W) target grid (tiled projection scatters into a halo-extended
     # buffer, parallel/tiling.tiled_flow_project)
     payload = jnp.concatenate([values, weights[:, None]], axis=1)
     payload = jnp.where(valid[:, None], payload, 0.0)
-    # channels-last so each update writes one contiguous (K+1)-slice
-    upd = payload.reshape(B, K + 1, Hs * Ws).transpose(0, 2, 1)
     lin = (iyT * W + ixL).reshape(B, Hs * Ws)
-    base = jnp.zeros((B, H * W, K + 1), values.dtype)
-    # indices are pre-clipped in-bounds; promising it removes the per-update
-    # bounds check from the scatter's scalar loop
-    base = base.at[jnp.arange(B)[:, None], lin].add(upd, mode="promise_in_bounds")
-    S = base.transpose(0, 2, 1).reshape(B, K + 1, H, W)
+    if _scatter_use_pallas(Hs, Ws, H, W):
+        ys = jnp.arange(Hs, dtype=jnp.int32)[None, :, None]
+        xs = jnp.arange(Ws, dtype=jnp.int32)[None, None, :]
+        S = _fast_base_scatter(H, W, _FORCE_INTERPRET)(
+            payload, iyT - ys, ixL - xs, valid, lin)
+    else:
+        S = _base_scatter_xla(payload, lin, H, W)
     T = S + _shift_fold_last(S, axis=3)   # + (iyT, ixR)
     out = T + _shift_fold_last(T, axis=2)  # + (iyB, ixL/ixR)
     return out[:, :K], out[:, K]
@@ -138,7 +206,6 @@ def _directional_fill(avg_flow, count, fix_down_scan_bug):
     return jnp.where(hole, filled, avg_flow)
 
 
-@partial(jax.jit, static_argnames=("fillhole", "fix_down_scan_bug"))
 def flow_project(flow, *, fillhole=False, fix_down_scan_bug=False):
     """Project forward flow F_{t->t+1} to time t (negated-average scatter).
 
@@ -148,7 +215,31 @@ def flow_project(flow, *, fillhole=False, fix_down_scan_bug=False):
         reference, FlowProjectionLayer.py:15).
       fix_down_scan_bug: enable the down-direction scan the reference
         accidentally disabled (my_lib_kernel.cu:1799).
+
+    Under an active ``parallel.spatial_tiling`` context the op dispatches to
+    the shard_map scatter-reduce implementation (W sharded over the tile axis;
+    halo spill rides ppermute; the tiled fill always reproduces the
+    reference's dead down-scan).
     """
+    from memcnet_tpu.parallel.context import active_tiling
+
+    t = active_tiling()
+    if t is not None:
+        if fix_down_scan_bug:
+            raise NotImplementedError(
+                "fix_down_scan_bug is not supported on the tiled projection path"
+            )
+        from memcnet_tpu.parallel.tiling import tiled_flow_project
+
+        return tiled_flow_project(
+            t.mesh, flow, halo=t.halo, fillhole=fillhole,
+            axis=t.axis, batch_axis=t.batch_axis,
+        )
+    return _global_flow_project(flow, fillhole=fillhole, fix_down_scan_bug=fix_down_scan_bug)
+
+
+@partial(jax.jit, static_argnames=("fillhole", "fix_down_scan_bug"))
+def _global_flow_project(flow, *, fillhole=False, fix_down_scan_bug=False):
     B, _, H, W = flow.shape
     valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
     out, cnt = _scatter4(-flow, jnp.ones_like(flow[:, 0]), valid, ixL, ixR, iyT, iyB, H, W)

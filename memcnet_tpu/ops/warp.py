@@ -166,6 +166,59 @@ def _fused_tap_weights(filt, alpha, beta, valid, filter_size):
     return wtap.reshape(B, fs * fs, H, W)
 
 
+def _row_chunk_for(H, W, C, fs, budget_bytes=128 * 1024 * 1024):
+    """Largest divisor of H whose patch intermediate (rows*W, fs^2, C) stays
+    under `budget_bytes` (f32) — keeps the XLA fallback branch's memory plan
+    small so it is never the live-set driver when co-resident with the Pallas
+    path inside lax.cond (lax.cond allocates the max of both branches)."""
+    per_row = W * fs * fs * C * 4
+    max_rows = max(1, budget_bytes // max(per_row, 1))
+    rows = 1
+    for d in range(1, H + 1):
+        if H % d == 0 and d <= max_rows:
+            rows = d
+    return rows
+
+
+def _xla_forward_chunked(image, flow, filt, filter_size):
+    """`_xla_forward` evaluated in row-band chunks via lax.map: identical
+    values, but the (N, fs^2, C) patch intermediate only ever exists for one
+    band (~128 MB) instead of the whole frame (~2.2 GB at 720p C=67).  Used
+    as the in-graph fallback branch of the Pallas fast path, where the
+    whole-frame formulation's intermediates would otherwise dominate the
+    memory plan (and OOM batched 720p serving)."""
+    B, C, H, W = image.shape
+    fs, half = filter_size, filter_size // 2
+    rows = _row_chunk_for(H, W, C, fs)
+    if rows == H:
+        return _xla_forward(image, flow, filt, fs)
+
+    valid, ix, iy, alpha, beta = _valid_and_taps(image, flow, fs)
+    pad = fs
+    img_p = jnp.pad(image, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    img_cl = img_p.transpose(0, 2, 3, 1)  # (B, Hp, Wp, C)
+    iy_start = iy + 1 - half + pad
+    ix_start = ix + 1 - half + pad
+    wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)  # (B, fs^2, H, W)
+
+    nch = H // rows
+    n = rows * W
+    iy_c = iy_start.reshape(B, nch, n).transpose(1, 0, 2)
+    ix_c = ix_start.reshape(B, nch, n).transpose(1, 0, 2)
+    w_c = wtap.reshape(B, fs, fs, nch, n).transpose(3, 0, 4, 1, 2)  # (nch,B,n,fs,fs)
+
+    def band(args):
+        iyc, ixc, wc = args
+        patches = jax.vmap(_gather_patches, in_axes=(0, 0, 0, None))(
+            img_cl, iyc, ixc, fs
+        )  # (B, n, fs, fs, C)
+        return jnp.einsum("bnjic,bnji->bnc", patches, wc.astype(patches.dtype))
+
+    acc = jax.lax.map(band, (iy_c, ix_c, w_c))  # (nch, B, n, C)
+    acc = acc.transpose(1, 3, 0, 2).reshape(B, C, H, W)
+    return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
+
+
 def _fast_forward(image, flow, filt, filter_size, interpret=False):
     """Pallas window-kernel forward with whole-frame XLA fallback (exact)."""
     B, C, H, W = image.shape
@@ -189,7 +242,10 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
 
     def xla_branch(_):
         # Recomputes the select too, but where(valid, ...) below is idempotent.
-        return _xla_forward(image, flow, filt, fs)
+        # Chunked: this branch's intermediates share the memory plan with the
+        # Pallas branch (lax.cond allocates the max of both), so keep them to
+        # one row band instead of a whole-frame patch tensor.
+        return _xla_forward_chunked(image, flow, filt, fs)
 
     acc = jax.lax.cond(plan["ok"], pallas_branch, xla_branch, None)
     return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
@@ -229,7 +285,6 @@ def _use_pallas():
     return platform in ("tpu", "axon")
 
 
-@partial(jax.jit, static_argnames=("filter_size",))
 def filter_interp_warp(image, flow, filt, *, filter_size=4):
     """Adaptive filter-interpolation warping (the paper's core op).
 
@@ -246,7 +301,26 @@ def filter_interp_warp(image, flow, filt, *, filter_size=4):
     On TPU the forward runs the Pallas window kernel (ops/pallas/warp_kernel.py)
     — exact, with per-frame XLA fallback for over-budget flow spreads; gradients
     always use the XLA formulation.
+
+    Under an active ``parallel.spatial_tiling`` context the op dispatches to
+    the shard_map halo-exchange implementation (W sharded over the tile axis,
+    ppermute-only communication; horizontal flow clamped to the halo budget).
     """
+    from memcnet_tpu.parallel.context import active_tiling
+
+    t = active_tiling()
+    if t is not None:
+        from memcnet_tpu.parallel.tiling import tiled_filter_interp_warp
+
+        return tiled_filter_interp_warp(
+            t.mesh, image, flow, filt, filter_size=filter_size,
+            halo=t.halo, axis=t.axis, batch_axis=t.batch_axis,
+        )
+    return _global_filter_interp_warp(image, flow, filt, filter_size=filter_size)
+
+
+@partial(jax.jit, static_argnames=("filter_size",))
+def _global_filter_interp_warp(image, flow, filt, *, filter_size=4):
     if _use_pallas():
         return _fast_op(filter_size)(image, flow, filt)
     return _xla_forward(image, flow, filt, filter_size)

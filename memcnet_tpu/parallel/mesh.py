@@ -19,6 +19,7 @@ capped so each W shard stays >= 64 px (the FlowNetS downsampling footprint).
 import math
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import AxisType, NamedSharding, PartitionSpec as P
 
 
@@ -52,3 +53,59 @@ def shard_frames(mesh, *arrays):
     s = frame_sharding(mesh)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out[0] if len(out) == 1 else out
+
+
+def _zero1_leaf_sharding(mesh, shape):
+    """Shard the largest dim divisible by the whole mesh; replicate others."""
+    n = mesh.size
+    axes = tuple(mesh.axis_names)
+    dims = sorted(range(len(shape)), key=lambda d: -shape[d])
+    for d in dims:
+        if shape[d] % n == 0 and shape[d] >= n:
+            spec = [None] * len(shape)
+            spec[d] = axes
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def zero1_sharding(mesh, tree):
+    """ZeRO-1 shardings for an optimizer-state (or grads) pytree: each
+    param-shaped leaf is 1D-sharded over ALL mesh devices on its largest
+    evenly-divisible dim; scalars/indivisible leaves replicate.
+
+    With opt-state placed this way (and the train step jitted with matching
+    in/out shardings), GSPMD turns the optimizer update into
+    reduce-scatter(grads) -> per-shard update -> all-gather(params): the
+    update math and the first/second-moment memory drop by mesh.size.  On a
+    TPU slice this is the standard optimizer-state sharding recipe; on the
+    8-virtual-device CPU dryrun it removes ~8x replicated Adamax work (which
+    dominated wall time: ~7.7 s/device for the 70M-param flagship)."""
+    return jax.tree.map(
+        lambda leaf: _zero1_leaf_sharding(mesh, jnp.shape(leaf)), tree
+    )
+
+
+def mesh_barrier(mesh):
+    """Run one trivial psum over every mesh axis and block on it.
+
+    Aligns all participants' executor threads through a first, cheap
+    rendezvous before a heavy SPMD program runs: on oversubscribed CPU hosts
+    (N virtual devices >> cores) the skew between devices reaching the first
+    collective inside a long program otherwise eats into XLA's hard 40 s CPU
+    rendezvous deadline."""
+    from functools import partial
+
+    from jax import shard_map
+
+    names = tuple(mesh.axis_names)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P(names), out_specs=P())
+    def _psum(x):
+        y = jnp.sum(x)
+        for n in names:
+            y = jax.lax.psum(y, n)
+        return y
+
+    x = jnp.arange(mesh.size, dtype=jnp.float32)
+    return float(jax.block_until_ready(_psum(x)))

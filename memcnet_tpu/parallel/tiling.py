@@ -98,7 +98,8 @@ def _ppermute_shift(x, axis, shift):
     return jax.lax.ppermute(x, axis, perm)
 
 
-def tiled_flow_project(mesh, flow, *, halo=64, fillhole=False, axis="tile"):
+def tiled_flow_project(mesh, flow, *, halo=64, fillhole=False, axis="tile",
+                       batch_axis=None):
     """W-sharded flow projection with boundary scatter-reduce halo exchange.
 
     Each shard scatters into a halo-extended local buffer (|fx| clamped to
@@ -117,11 +118,12 @@ def tiled_flow_project(mesh, flow, *, halo=64, fillhole=False, axis="tile"):
     t = mesh.shape[axis]
     assert W % t == 0, (W, t)
     W_local = W // t
+    spec = P(batch_axis, None, None, axis)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, None, None, axis),),
-        out_specs=P(None, None, None, axis),
+        in_specs=(spec,),
+        out_specs=spec,
         check_vma=False,
     )
     def fn(fl):
@@ -243,7 +245,7 @@ def _tiled_fill(avg, cnt, axis, t):
 
 
 def tiled_filter_interp_warp(mesh, image, flow, filt, *, filter_size=4, halo=64,
-                             axis="tile"):
+                             axis="tile", batch_axis=None):
     """W-sharded adaptive warp with ring halo exchange.
 
     image/flow/filt: global arrays (B, C, H, W); returns the global warp,
@@ -253,11 +255,12 @@ def tiled_filter_interp_warp(mesh, image, flow, filt, *, filter_size=4, halo=64,
     t = mesh.shape[axis]
     assert W % t == 0, (W, t)
     fs = filter_size
+    spec = P(batch_axis, None, None, axis)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, None, None, axis),) * 3,
-        out_specs=P(None, None, None, axis),
+        in_specs=(spec,) * 3,
+        out_specs=spec,
         check_vma=False,
     )
     def fn(img, fl, ft):

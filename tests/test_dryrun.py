@@ -1,0 +1,54 @@
+"""End-to-end run of the driver's multi-chip dryrun under 2-core CPU
+oversubscription — the exact configuration whose all-to-all rendezvous abort
+(rc=134) regressed round 2.
+
+The dryrun jits the FULL MEMC_Net_star train step over an 8-device
+(data=4, tile=2) mesh: DP batch sharding, shard_map halo-exchange warp and
+projection (ppermute-only), ZeRO-1 sharded Adamax.  It must complete without
+an XLA CPU collective-rendezvous termination (hard 40 s deadline per
+collective) even with 8 virtual devices timesharing 2 cores.
+
+Wall time on a 2-core host: ~240 s cold, ~115 s with a warm persistent
+compile cache (the dryrun populates .jax_cache/, so the driver's MULTICHIP
+run after this test is warm).  The test pins CPUs 0-1 via taskset when
+available so many-core hosts still exercise the oversubscribed regime.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+def test_dryrun_multichip_8dev_2cores():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    # the image's sitecustomize resets JAX_PLATFORMS=axon at interpreter
+    # startup, so the override must happen in-process before jax initializes
+    code = (
+        "import os; os.environ['JAX_PLATFORMS'] = 'cpu'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8); "
+        "print('DRYRUN_PASS')"
+    )
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset") and os.cpu_count() and os.cpu_count() > 2:
+        cmd = ["taskset", "-c", "0,1"] + cmd
+
+    # One retry: XLA's CPU collective rendezvous has a hard 40 s deadline,
+    # and an EXTERNAL cpu hog (another CI job / the TPU tunnel compiling)
+    # can starve a device thread past it.  A deterministic in-program skew
+    # fails both attempts and still fails the test.
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            cmd, cwd=repo, env=env, capture_output=True, text=True, timeout=570
+        )
+        if proc.returncode == 0:
+            break
+    tail = (proc.stdout + proc.stderr)[-3000:]
+    assert proc.returncode == 0, f"dryrun failed rc={proc.returncode}:\n{tail}"
+    assert "DRYRUN_PASS" in proc.stdout, tail
+    assert "dryrun_multichip OK" in proc.stdout, tail

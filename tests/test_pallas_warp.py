@@ -101,3 +101,24 @@ class TestFastOpGradients:
     def test_dispatch_is_xla_on_cpu(self):
         # CI runs on the CPU platform: the public op must not route to Pallas
         assert not W._use_pallas()
+
+
+class TestChunkedFallback:
+    """The in-graph XLA fallback branch runs row-chunked (lax.map) so its
+    patch intermediates never dominate the lax.cond memory plan — values must
+    equal the whole-frame formulation exactly."""
+
+    def test_chunked_equals_whole(self, rng, monkeypatch):
+        B, C, H, Wd = 2, 5, 24, 40
+        image = jnp.asarray(rng.rand(B, C, H, Wd).astype(np.float32))
+        flow = jnp.asarray((rng.randn(B, 2, H, Wd) * 3).astype(np.float32))
+        filt = jnp.asarray(rng.rand(B, 16, H, Wd).astype(np.float32))
+        ref = W._xla_forward(image, flow, filt, 4)
+        monkeypatch.setattr(W, "_row_chunk_for", lambda *a, **k: 4)
+        got = W._xla_forward_chunked(image, flow, filt, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+    def test_row_chunk_bounds_memory(self):
+        rows = W._row_chunk_for(768, 1344, 67, 4)
+        assert 768 % rows == 0
+        assert rows * 1344 * 16 * 67 * 4 <= 128 * 1024 * 1024
