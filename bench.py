@@ -84,16 +84,24 @@ def main():
     a0 = float(a0)
     print(f"compile+first run: {time.time() - t0:.1f}s, dtype={out.dtype}", file=sys.stderr)
 
+    trace_dir = None
+    for i, a in enumerate(sys.argv):
+        if a == "--trace-dir":
+            trace_dir = sys.argv[i + 1]
+
+    from memcnet_tpu.utils.tracing import device_trace
+
     iters = 10
     best = float("inf")
-    for _rep in range(3):
-        acc = jnp.zeros((), jnp.float32)
-        cur = x0
-        t0 = time.time()
-        for _ in range(iters):
-            cur, acc = step(params, cur, x2, acc)
-        final = float(acc)  # forces execution of the full chain
-        best = min(best, (time.time() - t0) / iters)
+    with device_trace(trace_dir):
+        for _rep in range(3):
+            acc = jnp.zeros((), jnp.float32)
+            cur = x0
+            t0 = time.time()
+            for _ in range(iters):
+                cur, acc = step(params, cur, x2, acc)
+            final = float(acc)  # forces execution of the full chain
+            best = min(best, (time.time() - t0) / iters)
     assert np.isfinite(final), final
     dt = best / B  # per frame
     fps = 1.0 / dt

@@ -10,9 +10,11 @@ Usage:
 """
 
 import argparse
+import contextlib
 import os
 import random
 import sys
+import time
 
 import numpy as np
 import imageio.v2 as iio
@@ -23,7 +25,9 @@ from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, to_uint8_frame
 from memcnet_tpu.utils.config import add_config_args, config_from_args
 
 
-def run(cfg, data_dir, gt_dir, out_dir):
+def run(cfg, data_dir, gt_dir, out_dir, trace_dir=None):
+    from memcnet_tpu.utils.tracing import StageTimers, device_trace
+
     model, params = build_model(cfg)
     fwd = PaddedInterp(model, params, save_which=cfg.save_which)
 
@@ -33,9 +37,14 @@ def run(cfg, data_dir, gt_dir, out_dir):
     print(f"The unique id for current testing is: {uid}")
 
     meter = AverageMeter()
+    timers = StageTimers()
     results = []
+    stack = contextlib.ExitStack()
+    stack.enter_context(device_trace(trace_dir))
     for x0, x1, gt, name in MiddleburyOther(data_dir, gt_dir):
-        out, _aux = fwd(x0, x1)
+        t_item = time.time()
+        with timers.model():
+            out, _aux = fwd(x0, x1)
         rec_u8 = to_uint8_frame(out)
         os.makedirs(os.path.join(gen_dir, name), exist_ok=True)
         out_path = os.path.join(gen_dir, name, "frame10i11.png")
@@ -51,6 +60,9 @@ def run(cfg, data_dir, gt_dir, out_dir):
         print(f"The average interpolation error for all images is : {round(meter.avg, 4)}")
         diff = (128.0 + rec_u8.astype(np.float64) - gt_u8.astype(np.float64)).astype("uint8")
         iio.imwrite(os.path.join(gen_dir, name, f"frame10i11_diff{ie:.4f}.png"), diff)
+        timers.total.update(time.time() - t_item)
+    stack.close()
+    print(timers.summary(), file=sys.stderr)
     return results
 
 
@@ -60,11 +72,14 @@ def main(argv=None):
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--gt-dir", default=None)
     ap.add_argument("--out-dir", default="./MiddleBury-results")
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler (XProf) trace here")
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
     if cfg.net_name == "MEMC_Net_VE":
         sys.exit("use demo_vimeo_ve for the enhancement model")
-    return run(cfg, args.data_dir, args.gt_dir, args.out_dir)
+    return run(cfg, args.data_dir, args.gt_dir, args.out_dir,
+               trace_dir=args.trace_dir)
 
 
 if __name__ == "__main__":

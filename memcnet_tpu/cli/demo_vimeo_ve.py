@@ -9,6 +9,7 @@ checkout (vimeo_video_enhancement_test/, 4 sequences):
 """
 
 import argparse
+import contextlib
 import os
 import time
 
@@ -20,7 +21,9 @@ from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, ssim, to_uint8
 from memcnet_tpu.utils.config import add_config_args, config_from_args
 
 
-def run(cfg, root, out_dir, limit=None):
+def run(cfg, root, out_dir, limit=None, trace_dir=None):
+    from memcnet_tpu.utils.tracing import device_trace
+
     model, params = build_model(cfg)
     fwd = PaddedVE(model, params)
 
@@ -29,6 +32,8 @@ def run(cfg, root, out_dir, limit=None):
     ds = Vimeo90K(root, cfg.task or "denoise")
     end = time.time()
     metrics = ""
+    stack = contextlib.ExitStack()
+    stack.enter_context(device_trace(trace_dir))
     for i, (frames, target, path) in enumerate(ds):
         if limit is not None and i >= limit:
             break
@@ -56,6 +61,7 @@ def run(cfg, root, out_dir, limit=None):
         metrics = (f"The average interpolation error / PSNR for all images are : "
                    f"{round(ie_m.avg, 4)},\t  psnr {round(psnr_m.avg, 4)},\t  ssim {round(ssim_m.avg, 4)}")
         print(metrics)
+    stack.close()
     if out_dir and metrics:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
@@ -69,9 +75,11 @@ def main(argv=None):
     ap.add_argument("--root", default="/root/reference/vimeo_video_enhancement_test")
     ap.add_argument("--out-dir", default="./Vimeo-VE-results")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler (XProf) trace here")
     args = ap.parse_args(argv)
     cfg = config_from_args(args, net_name="MEMC_Net_VE")
-    return run(cfg, args.root, args.out_dir, args.limit)
+    return run(cfg, args.root, args.out_dir, args.limit, trace_dir=args.trace_dir)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,68 @@ class Vimeo90K:
             yield item
 
 
+class VimeoTriplet:
+    """Vimeo-90K triplet dataset for interpolation TRAINING.
+
+    The reference ships no trainer, but its documented hyperparameters
+    (my_args.py:41-59) and the MEMC-Net paper train interpolation on the
+    Vimeo-90K triplet split: sequences/<video>/<seq>/im{1,2,3}.png with im2
+    the ground-truth middle frame.  Accepts either that layout (with optional
+    tri_trainlist.txt / tri_testlist.txt) or any directory tree whose leaves
+    hold im1/im2/im3 (the in-repo 7-frame fixtures work by aliasing im1..im3).
+
+    Yields (x0, gt, x1) float32 (3,H,W) triples; `crop` takes a random HxW
+    patch (train-time augmentation; crops must be x128-padded downstream or
+    sized to the model's stride).
+    """
+
+    def __init__(self, root, list_file=None, crop=None, seed=0, frames=("im1.png", "im2.png", "im3.png")):
+        self.root = root
+        self.frames = frames
+        self.crop = crop
+        self.rng = np.random.RandomState(seed)
+        if list_file:
+            with open(os.path.join(root, list_file)) as f:
+                self.paths = [ln.strip() for ln in f if ln.strip()]
+            self.base = os.path.join(root, "sequences")
+        else:
+            self.base, self.paths = self._scan(root)
+
+    def _scan(self, root):
+        base = os.path.join(root, "sequences") if os.path.isdir(
+            os.path.join(root, "sequences")) else root
+        out = []
+        for dirpath, _dirnames, filenames in sorted(os.walk(base)):
+            if all(f in filenames for f in self.frames):
+                out.append(os.path.relpath(dirpath, base))
+        return base, out
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        d = os.path.join(self.base, self.paths[i])
+        x0, gt, x1 = (_read_frame(os.path.join(d, f)) for f in self.frames)
+        if self.crop:
+            ch, cw = self.crop
+            _, H, W = x0.shape
+            y = self.rng.randint(0, H - ch + 1)
+            x = self.rng.randint(0, W - cw + 1)
+            x0, gt, x1 = (a[:, y:y + ch, x:x + cw] for a in (x0, gt, x1))
+        return x0, gt, x1
+
+    def batches(self, batch_size, *, epochs=None, shuffle=True):
+        """Yield (x0, gt, x1) float32 (B,3,H,W) batches, dropping remainders
+        (static shapes under jit)."""
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = self.rng.permutation(len(self)) if shuffle else np.arange(len(self))
+            for s in range(0, len(order) - batch_size + 1, batch_size):
+                items = [self[int(i)] for i in order[s:s + batch_size]]
+                yield tuple(np.stack([it[k] for it in items]) for k in range(3))
+            epoch += 1
+
+
 def Vimeo_90K_sr(root, **kw):
     return Vimeo90K(root, "sr", **kw)
 

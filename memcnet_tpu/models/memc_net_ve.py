@@ -61,7 +61,13 @@ class MEMCNetVE:
         center = frames[3]
         neighbors = [frames[i] for i in (0, 1, 2, 4, 5, 6)]
 
-        pairs = jnp.concatenate([jnp.concatenate((center, n), axis=1) for n in neighbors], axis=0)
+        # Neighbor axis interleaved sample-major (B, 6, ...): each sample's 6
+        # pairs stay on its DP shard, so the per-neighbor slices below are
+        # local views instead of batch-axis reshards under GSPMD (same fix as
+        # MEMCNet._flows; per-sample results are order-independent).
+        pairs = jnp.stack(
+            [jnp.concatenate((center, n), axis=1) for n in neighbors], axis=1
+        ).reshape((6 * B, 6) + center.shape[2:])
         flow = upsample_bilinear(flownets.forward(params, pairs) * DIV_FLOW, 4)  # :292-296
 
         t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pairs)
@@ -72,16 +78,20 @@ class MEMCNetVE:
         # bound); the 6 warps stay separate B-sized calls — batching them
         # into one 6B gather measured SLOWER (63 vs 49 ms/window on v5e: the
         # extra batch index dimension raises the per-descriptor gather cost).
-        neigh = jnp.concatenate(neighbors, axis=0)  # (6B, 3, H, W)
+        neigh = jnp.stack(neighbors, axis=1).reshape((6 * B,) + center.shape[1:])
         ctx_all = ctx_mod.forward(params, jnp.concatenate([neigh, center], axis=0))
         ctx_n, ctx_c = ctx_all[: 6 * B], ctx_all[6 * B :]
+
+        def nb(x, k):  # neighbor k of the sample-major (B, 6, ...) layout
+            return x.reshape((B, 6) + x.shape[1:])[:, k]
+
         warped = []
         ctx_warped = []
         for k in range(6):
             m = filter_interp_warp(
-                jnp.concatenate((neigh[k * B : (k + 1) * B], ctx_n[k * B : (k + 1) * B]), 1),
-                flow[k * B : (k + 1) * B],
-                filt[k * B : (k + 1) * B],
+                jnp.concatenate((nb(neigh, k), nb(ctx_n, k)), 1),
+                nb(flow, k),
+                nb(filt, k),
                 filter_size=fs,
             )
             warped.append(m[:, :3])
@@ -91,8 +101,8 @@ class MEMCNetVE:
         outs = warped[:3] + [center] + warped[3:]
         ctxs = ctx_warped[:3] + [ctx_c] + ctx_warped[3:]
 
-        flows6 = [flow[k * B:(k + 1) * B] for k in range(6)]
-        filts6 = [filt[k * B:(k + 1) * B] for k in range(6)]
+        flows6 = [nb(flow, k) for k in range(6)]
+        filts6 = [nb(filt, k) for k in range(6)]
         rin = jnp.concatenate(ctxs + flows6 + filts6 + outs, axis=1)  # :241-256
         rectified = center + edsr.forward(params, rin, n_resblocks=10)  # :260
 

@@ -78,3 +78,98 @@ class TestVETraining:
             int(bool(jnp.any(p2[k] != params[k]))) for k in list(params)[:20]
         )
         assert changed > 0
+
+
+FIXTURES = "/root/reference/vimeo_video_enhancement_test/input"
+
+
+class TestUpstreamHyperparameters:
+    """The documented upstream trainer configuration (my_args.py:41-59):
+    alpha, per-subnet relative LRs, plateau decay."""
+
+    def test_alpha_1_0_trains_interp_head_only(self, rng):
+        # alpha=[1.0, 0.0] puts zero weight on the rectified residual, so the
+        # rectify net (reached only by that residual) must get zero grads
+        from memcnet_tpu.train.loss import residual_loss
+
+        model = M.get_model("MEMC_Net")
+        params = model.init_params(jr.PRNGKey(0))
+        x0, x1, x2 = (jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+                      for _ in range(3))
+
+        def loss_fn(p):
+            residuals, *_ = model.train_residuals(p, x0, x1, x2)
+            return residual_loss(residuals, [1.0, 0.0])
+
+        grads = jax.grad(loss_fn)(params)
+        rect = [k for k in grads if k.startswith("rectifyNet")]
+        other = [k for k in grads if not k.startswith("rectifyNet")]
+        assert rect and all(not bool(jnp.any(grads[k] != 0)) for k in rect)
+        assert sum(int(bool(jnp.any(grads[k] != 0))) for k in other) > 0.8 * len(other)
+
+    def test_subnet_lr_scaling(self):
+        from memcnet_tpu.train.trainer import make_optimizer
+
+        opt = make_optimizer(lr=1e-2, subnet_lr=True)
+        params = {"flownets.c.w": jnp.ones(4), "initScaleNets_filter.0.w": jnp.ones(4)}
+        st = opt.init(params)
+        g = {k: jnp.ones(4) for k in params}
+        up, _ = opt.update(g, st, params, value=jnp.float32(1.0))
+        ratio = float(up["flownets.c.w"][0] / up["initScaleNets_filter.0.w"][0])
+        assert abs(ratio - 0.01) < 1e-4, ratio  # my_args.py:44 flow_lr_coe
+
+    def test_plateau_reduces_lr(self):
+        from memcnet_tpu.train.trainer import make_optimizer
+
+        opt = make_optimizer(lr=1.0, plateau=True, patience=2, factor=0.5)
+        params = {"w": jnp.ones(2)}
+        st = opt.init(params)
+        g = {"w": jnp.ones(2)}
+        scales = []
+        for _ in range(8):  # constant loss -> plateau fires after patience
+            up, st = opt.update(g, st, params, value=jnp.float32(1.0))
+            scales.append(abs(float(up["w"][0])))
+        assert scales[-1] < scales[0] * 0.6, scales
+
+
+class TestTripletPipeline:
+    """Vimeo triplet loader + fit() on real fixture frames."""
+
+    def test_loader_scans_fixtures(self):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.isdir(FIXTURES):
+            _pytest.skip("reference fixtures unavailable")
+        from memcnet_tpu.data.vimeo90k import VimeoTriplet
+
+        ds = VimeoTriplet(FIXTURES, crop=(128, 128), seed=0)
+        assert len(ds) >= 4
+        x0, gt, x1 = ds[0]
+        assert x0.shape == (3, 128, 128) and gt.dtype == np.float32
+        b = next(ds.batches(2))
+        assert all(a.shape == (2, 3, 128, 128) for a in b)
+
+    def test_fit_overfits_fixture_triplet(self):
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.isdir(FIXTURES):
+            _pytest.skip("reference fixtures unavailable")
+        from memcnet_tpu.data.vimeo90k import VimeoTriplet
+        from memcnet_tpu.train.trainer import build_interp_trainer, fit
+
+        model = M.get_model("MEMC_Net")
+        params = model.init_params(jr.PRNGKey(0))
+        ds = VimeoTriplet(FIXTURES, crop=(128, 128), seed=0)
+        ds.paths = ds.paths[:1]  # overfit a single real triplet
+        opt, step = build_interp_trainer(model, lr=1e-4, plateau=False)
+        opt_state = opt.init(params)
+        params, opt_state, hist = fit(
+            model, params, step, opt_state, ds.batches(1, shuffle=False),
+            steps=4)
+        assert len(hist) == 4 and all(np.isfinite(h) for h in hist)
+        # Adamax overshoots from random init on step 0; descent after that
+        assert hist[-1] < hist[1], hist

@@ -8,6 +8,8 @@ validates the sharded program structure (tiny shapes, wall-times not
 meaningful).
 
 Usage: python tools/bench_scaling.py [--sizes 1,2,4,8] [--hw H,W] [--iters N]
+       [--multihost]   # jax.distributed.initialize across hosts (DCN); run
+                       # the same command on every host of the slice
 """
 
 import argparse
@@ -48,23 +50,31 @@ def bench_mesh(n, H, W, iters, dtype_name):
     x0 = jax.device_put(rng.rand(B, 3, H, Wl).astype(np.float32), fsh).astype(dtype)
     x2 = jax.device_put(rng.rand(B, 3, H, Wl).astype(np.float32), fsh).astype(dtype)
 
+    from memcnet_tpu.parallel.context import spatial_tiling
+
     @jax.jit
     def step(params, x0, x2, acc):
         (interp, rectified), _o, _f, _occ = model.forward(params, x0, x2)
         return jnp.clip(rectified, 0, 1), acc + jnp.sum(interp.astype(jnp.float32))
 
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    out, a = step(params, x0, x2, acc)
-    float(a)
-    compile_s = time.time() - t0
+    import contextlib
 
-    acc = jnp.zeros((), jnp.float32)
-    cur = x0
-    t0 = time.time()
-    for _ in range(iters):
-        cur, acc = step(params, cur, x2, acc)
-    float(acc)
+    # W-tiled meshes route warp/projection through the shard_map halo paths
+    # (trace-time dispatch); single-tile meshes keep the global ops
+    ctx = spatial_tiling(mesh, halo=64) if tile > 1 else contextlib.nullcontext()
+    with ctx:
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.time()
+        out, a = step(params, x0, x2, acc)
+        float(a)
+        compile_s = time.time() - t0
+
+        acc = jnp.zeros((), jnp.float32)
+        cur = x0
+        t0 = time.time()
+        for _ in range(iters):
+            cur, acc = step(params, cur, x2, acc)
+        float(acc)
     dt = (time.time() - t0) / iters
     frames = B  # frames produced per step
     fps = frames / dt
@@ -82,9 +92,19 @@ def main():
     ap.add_argument("--hw", default=None, help="H,W (default 768,1344 on TPU; 128,256 on CPU)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize the JAX distributed runtime first "
+                         "(coordinator from env/TPU metadata); gives the "
+                         "N>=2-hosts row of the north-star table")
     args = ap.parse_args()
 
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
+        print(f"distributed runtime: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices",
+              flush=True)
 
     plat = jax.devices()[0].platform
     if args.hw:
