@@ -21,4 +21,7 @@ def forward(params, x, prefix="ctxNet"):
     mean = jnp.asarray([0.485, 0.485, 0.485], x.dtype).reshape(1, 3, 1, 1)
     std = jnp.asarray([0.229, 0.224, 0.224], x.dtype).reshape(1, 3, 1, 1)
     y = (x - mean) / std
-    return L.conv2d_im2col(y, params[f"{prefix}.conv1.weight"], None, stride=1, padding=3)
+    # direct conv: 7.9 ms vs 17.1 ms for the im2col einsum at 720p B=2 on
+    # v5e — and the im2col einsum costs ~770 s of XLA compile at this shape
+    # (most of the bench's cold compile); tools/bench_ctx.py
+    return L.conv2d(y, params[f"{prefix}.conv1.weight"], None, stride=1, padding=3)

@@ -166,12 +166,15 @@ def _fused_tap_weights(filt, alpha, beta, valid, filter_size):
     return wtap.reshape(B, fs * fs, H, W)
 
 
-def _row_chunk_for(H, W, C, fs, budget_bytes=128 * 1024 * 1024):
-    """Largest divisor of H whose patch intermediate (rows*W, fs^2, C) stays
-    under `budget_bytes` (f32) — keeps the XLA fallback branch's memory plan
-    small so it is never the live-set driver when co-resident with the Pallas
-    path inside lax.cond (lax.cond allocates the max of both branches)."""
-    per_row = W * fs * fs * C * 4
+def _row_chunk_for(H, W, C, fs, B=1, budget_bytes=256 * 1024 * 1024):
+    """Largest divisor of H whose patch intermediate (B, rows*W, fs^2, C)
+    stays under `budget_bytes` (f32) — keeps the XLA fallback branch's memory
+    plan small so it is never the live-set driver when co-resident with the
+    Pallas path inside lax.cond (lax.cond allocates the max of both
+    branches).  B-aware: each lax.map iteration carries a fixed ~5 ms
+    overhead on v5e (measured: 48 bands cost 363 ms where the whole-frame
+    gather costs ~95 ms), so fewer, larger bands within the budget win."""
+    per_row = B * W * fs * fs * C * 4
     max_rows = max(1, budget_bytes // max(per_row, 1))
     rows = 1
     for d in range(1, H + 1):
@@ -189,7 +192,7 @@ def _xla_forward_chunked(image, flow, filt, filter_size):
     memory plan (and OOM batched 720p serving)."""
     B, C, H, W = image.shape
     fs, half = filter_size, filter_size // 2
-    rows = _row_chunk_for(H, W, C, fs)
+    rows = _row_chunk_for(H, W, C, fs, B)
     if rows == H:
         return _xla_forward(image, flow, filt, fs)
 

@@ -119,6 +119,9 @@ class TestChunkedFallback:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
 
     def test_row_chunk_bounds_memory(self):
-        rows = W._row_chunk_for(768, 1344, 67, 4)
-        assert 768 % rows == 0
-        assert rows * 1344 * 16 * 67 * 4 <= 128 * 1024 * 1024
+        for B in (1, 4):
+            rows = W._row_chunk_for(768, 1344, 67, 4, B)
+            assert 768 % rows == 0
+            assert B * rows * 1344 * 16 * 67 * 4 <= 256 * 1024 * 1024
+        # more batch -> smaller bands
+        assert W._row_chunk_for(768, 1344, 67, 4, 4) <= W._row_chunk_for(768, 1344, 67, 4, 1)
