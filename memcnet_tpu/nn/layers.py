@@ -282,19 +282,23 @@ def _grid_sample_xla(x, grid):
 
 
 def _grid_sample_fast(x, grid, interpret=False):
-    """grid_sample == a bilinear (fs=2) pass of the Pallas warp window kernel
+    """grid_sample == a bilinear (fs=2) pass of the Pallas band-gather kernel
     on a ZERO-RING-padded source: per-tap zeroing falls out of the padding.
 
     Reduction (exact for ALL inputs): clamp the landing point into
     [-RING, dim-1+RING].  Landings clamped from outside have every tap in the
     zero ring -> output 0, which is exactly grid_sample's value there; the
     partial-overlap band (-1 < g < 0 etc.) reads ring zeros for its outside
-    taps.  Over-budget tiles (plan["ok"] false — wild flows) fall back to the
-    whole-frame XLA formulation inside lax.cond, so values never change.
+    taps.  Over-budget bands (wild flows) fall back to the whole-frame XLA
+    formulation inside lax.cond, so values never change.
+
+    The band-gather kernel (ops/pallas/gather_kernel.py) keeps W on the
+    lanes, so C=3 sources don't pay the window kernel's pad-to-128-lanes tax.
     """
-    from memcnet_tpu.ops.pallas import warp_kernel as wk
+    from memcnet_tpu.ops.pallas import gather_kernel as gk
 
     RING = 2
+    PT = 8  # top row margin (window anchors clip to >= 0 cheaply)
     B, C, H, W = x.shape
     gx = (grid[..., 0] + 1.0) * (W - 1) / 2.0
     gy = (grid[..., 1] + 1.0) * (H - 1) / 2.0
@@ -305,35 +309,34 @@ def _grid_sample_fast(x, grid, interpret=False):
     wx = gx - x0
     wy = gy - y0
 
-    # original pixel (y, x) sits at (y+RING, x+RING) of the padded frame;
-    # border positions of the padded output grid carry no work (valid False,
-    # zero weights) and are cropped
-    xz = jnp.pad(x, ((0, 0), (0, 0), (RING, RING), (RING, RING)))
-    padhw = ((0, 0), (RING, RING), (RING, RING))
+    # padded source: rows [PT-RING, PT+H+RING+1) hold taps; bottom margin
+    # covers the R-row window overhang; lanes cover tap columns + 128 tiling
+    Wp = -(-W // 128) * 128
+    Wsp = -(-max(W + 2 * RING, Wp + 2) // 128) * 128
+    PB = gk.R + gk.TH + RING
+    Hsp = -(-(H + PT + PB) // gk.TH) * gk.TH
+    xz = jnp.pad(x, ((0, 0), (0, 0), (PT, Hsp - H - PT), (RING, Wsp - W - RING)))
+
     ys = jnp.arange(H, dtype=jnp.int32)[None, :, None]
     xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    dy = jnp.pad(y0 - ys, padhw)
-    dx = jnp.pad(x0 - xs, padhw)
-    valid = jnp.pad(jnp.ones((B, H, W), bool), padhw)
+    dy = (y0 + PT) - ys   # padded-row tap base minus output row
+    dx = (x0 + RING) - xs
+    valid = jnp.ones((B, H, W), bool)
     # tap (j, i) weight: [ (1-wy)(1-wx), (1-wy)wx, wy(1-wx), wy wx ]
     wtap = jnp.stack(
         [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx], axis=1
     )
-    wtap = jnp.pad(wtap, ((0, 0), (0, 0), (RING, RING), (RING, RING)))
 
-    plan = wk.plan_tiles(dy, dx, valid, 2, x.dtype)
+    plan = gk.plan_bands(dy, dx, valid)
 
     def pallas_branch(_):
-        out = wk.filter_interp_warp_tiles(
-            xz.transpose(0, 2, 3, 1), wtap, plan, filter_size=2,
-            interpret=interpret,
-        )
-        return out[:, RING:RING + H, RING:RING + W, :].transpose(0, 3, 1, 2)
+        return gk.gather_bands(xz, wtap, plan, filter_size=2, out_w=W,
+                               interpret=interpret)
 
     def xla_branch(_):
         return _grid_sample_xla(x, grid)
 
-    return jax.lax.cond(plan["ok"], pallas_branch, xla_branch, None)
+    return jax.lax.cond(gk.gather_ok(plan, 2), pallas_branch, xla_branch, None)
 
 
 _GS_INTERPRET = False  # tests: run the fast path interpreted on CPU
