@@ -35,10 +35,29 @@ from memcnet_tpu.ops.pallas.scatter_kernel import MAXB, R, TH, _ceil_to, plan_ba
 
 
 def gather_ok(plan, filter_size):
-    """plan["ok"] tightened for the gather window geometry: the R-row window
-    must hold (band rows 7) + dylo_off (<=7, plus up to TH of anchor-clip
-    residue) + ny-1 + fs-1 rows."""
-    return plan["ok"] & jnp.all(plan["ny"] <= R - filter_size - 20)
+    """plan["ok"] tightened for the gather window geometry.
+
+    Derivation.  Band i needs source rows 8i+dy ... 8i+(TH-1)+dy+(fs-1) for
+    dy in [dy_lo, dy_hi]; in window coordinates (rows relative to the anchor
+    8*(i+q), q = floor(dy_lo/TH)) the needed range is
+    [dylo_off, dylo_off + (TH-1) + (ny-1) + (fs-1)].  The R-row window covers
+    it iff
+
+        dylo_off + ny <= R - TH - filter_size + 2.                       (*)
+
+    Anchor clipping cannot weaken (*): if the anchor clips at the TOP
+    (anchor > Hsp-R), the window becomes [Hsp-R, Hsp) and every needed row is
+    >= anchor > Hsp-R and <= Hsp-1 by the caller's padding contract (all taps
+    in-bounds), so coverage is automatic; if it clips at the BOTTOM
+    (anchor <= -TH), the highest needed row is anchor + dylo_off + TH + ny +
+    fs - 3 <= ny + fs + TH - 4 < R under (*).  (gather_bands pads Hsp to a
+    TH multiple >= R so the top-clip bound hi == Hsp - R is exact.)
+
+    plan["ok"]'s ny bound is the SCATTER window's geometry, not ours, so only
+    the bucket budget is inherited; (*) is the exact gather-side condition."""
+    budget = R - TH - filter_size + 2
+    return (jnp.all(plan["n"] <= MAXB)
+            & jnp.all(plan["dylo_off"] + plan["ny"] <= budget))
 
 
 def _gather_kernel(fs, nb, W, Wsp,
@@ -132,13 +151,22 @@ def gather_bands(src_padded, wtap, plan, *, filter_size, out_w, interpret=False)
     B, C, Hsp, Wsp = src_padded.shape
     _, fs2, H, W = wtap.shape
     assert fs2 == fs * fs
-    assert Wsp % 128 == 0, ("pad source lanes to 128", Wsp)
     nb = plan["nb"]
     G = B * nb
 
+    # Self-pad the source to the kernel's geometry so the contract is
+    # uncheatable: lanes to a 128 multiple >= Wp + fs (the kernel's static
+    # tap slices read up to Wp + fs - 1 rolled lanes; extra lanes are masked
+    # by zero tap weights), rows to a TH multiple >= R (window size; extra
+    # zero rows are never read for valid pixels).  The caller still owns the
+    # SEMANTIC padding contract: every tap of every valid pixel in-bounds.
     Wp = _ceil_to(W, 128)
-    assert Wsp >= Wp + fs, ("source lane margin must cover the tap columns",
-                            Wsp, Wp, fs)
+    want_w = _ceil_to(max(Wsp, Wp + fs), 128)
+    want_h = _ceil_to(max(Hsp, R), TH)
+    if want_w != Wsp or want_h != Hsp:
+        src_padded = jnp.pad(
+            src_padded, ((0, 0), (0, 0), (0, want_h - Hsp), (0, want_w - Wsp)))
+        Hsp, Wsp = want_h, want_w
     # TH-aligned window anchor, clipped into the padded source with an
     # 8-aligned bound; the clip residue rides into dylo so window-row
     # arithmetic stays exact (every needed row is in [0, Hsp) by the

@@ -52,6 +52,34 @@ def test_gather_bands_vs_oracle(rng, fs, spread):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dy_lo", [8, 15])  # dylo_off = 0 and 7
+def test_gather_budget_boundary(rng, dy_lo):
+    """Pin gather_ok's derived bound: dylo_off + ny <= R - TH - fs + 2,
+    with correctness vs the oracle at exactly the budget."""
+    B, C, H, W, fs = 1, 2, 8, 40, 2
+    budget = gk.R - gk.TH - fs + 2
+    dylo_off = dy_lo % gk.TH
+    ny_max = budget - dylo_off
+    PL = 4
+    dx = np.full((B, H, W), PL, np.int32)
+    valid = np.ones((B, H, W), bool)
+    for ny, expect_ok in [(ny_max, True), (ny_max + 1, False)]:
+        dy = rng.randint(0, ny, (B, H, W)).astype(np.int32) + dy_lo
+        dy[0, 0, 0] = dy_lo            # force the exact spread
+        dy[0, 0, 1] = dy_lo + ny - 1
+        plan = gk.plan_bands(jnp.asarray(dy), jnp.asarray(dx), jnp.asarray(valid))
+        assert bool(gk.gather_ok(plan, fs)) == expect_ok, (dy_lo, ny)
+        if expect_ok:
+            Hsp = -(-(H + dy_lo + ny + fs + gk.R) // gk.TH) * gk.TH
+            src = rng.rand(B, C, Hsp, 128).astype(np.float32)
+            wtap = rng.rand(B, fs * fs, H, W).astype(np.float32)
+            got = np.array(gk.gather_bands(
+                jnp.asarray(src), jnp.asarray(wtap), plan, filter_size=fs,
+                out_w=W, interpret=True))
+            want = _oracle(src, wtap, dy, dx, fs)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_gather_ok_rejects_wild_vertical_spread(rng):
     B, H, W = 1, 16, 40
     dy = (rng.randint(0, 60, (B, H, W)) + 8).astype(np.int32)  # spread ~60 > budget
@@ -74,7 +102,7 @@ def test_invalid_pixels_excluded_from_plan(rng):
     wtap[0, :, 5, 7] = 0.0
     plan = gk.plan_bands(jnp.asarray(dy2), jnp.asarray(dx), jnp.asarray(valid2))
     assert bool(gk.gather_ok(plan, 2))
-    got = np.asarray(gk.gather_bands(
+    got = np.array(gk.gather_bands(
         jnp.asarray(src), jnp.asarray(wtap), plan, filter_size=2, out_w=W,
         interpret=True))
     want = _oracle(src, wtap, dy, dx, 2)  # oracle with the sane dy; weights 0 there
