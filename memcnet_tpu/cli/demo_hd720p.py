@@ -20,7 +20,7 @@ import os
 import random
 import sys
 
-from memcnet_tpu.cli.runner import PaddedInterp, build_model
+from memcnet_tpu.cli.runner import PaddedInterp, build_model, cfg_jnp_dtype
 from memcnet_tpu.data import YUVRead, YUVWrite
 from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, ssim, to_uint8_frame, y_channel_u8
 from memcnet_tpu.parallel.gop import GopScheduler
@@ -31,7 +31,7 @@ from memcnet_tpu.utils.tracing import StageTimers, device_trace
 def run(cfg, yuv_path, height, width, out_dir, frames=100, step=2, *,
         gop_len=16, journal=None, trace_dir=None, uid=None):
     model, params = build_model(cfg)
-    fwd = PaddedInterp(model, params, save_which=cfg.save_which)
+    fwd = PaddedInterp(model, params, save_which=cfg.save_which, dtype=cfg_jnp_dtype(cfg))
 
     sched = GopScheduler(frames + 1, gop_len=gop_len, step=step,
                          journal_path=journal)

@@ -19,7 +19,7 @@ import time
 import numpy as np
 import imageio.v2 as iio
 
-from memcnet_tpu.cli.runner import PaddedInterp, build_model
+from memcnet_tpu.cli.runner import PaddedInterp, build_model, cfg_jnp_dtype
 from memcnet_tpu.data import MiddleburyOther
 from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, to_uint8_frame
 from memcnet_tpu.utils.config import add_config_args, config_from_args
@@ -29,7 +29,7 @@ def run(cfg, data_dir, gt_dir, out_dir, trace_dir=None):
     from memcnet_tpu.utils.tracing import StageTimers, device_trace
 
     model, params = build_model(cfg)
-    fwd = PaddedInterp(model, params, save_which=cfg.save_which)
+    fwd = PaddedInterp(model, params, save_which=cfg.save_which, dtype=cfg_jnp_dtype(cfg))
 
     uid = str(random.randint(0, 100000))
     gen_dir = os.path.join(out_dir, uid)

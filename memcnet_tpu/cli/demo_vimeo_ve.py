@@ -15,7 +15,7 @@ import time
 
 import imageio.v2 as iio
 
-from memcnet_tpu.cli.runner import PaddedVE, build_model
+from memcnet_tpu.cli.runner import PaddedVE, build_model, cfg_jnp_dtype
 from memcnet_tpu.data import Vimeo90K
 from memcnet_tpu.metrics import AverageMeter, interp_error, psnr, ssim, to_uint8_frame
 from memcnet_tpu.utils.config import add_config_args, config_from_args
@@ -25,7 +25,7 @@ def run(cfg, root, out_dir, limit=None, trace_dir=None):
     from memcnet_tpu.utils.tracing import device_trace
 
     model, params = build_model(cfg)
-    fwd = PaddedVE(model, params)
+    fwd = PaddedVE(model, params, dtype=cfg_jnp_dtype(cfg))
 
     ie_m, psnr_m, ssim_m = AverageMeter(), AverageMeter(), AverageMeter()
     proc_t, tot_t = AverageMeter(), AverageMeter()

@@ -28,6 +28,12 @@ def build_model(cfg):
     return model, params
 
 
+def cfg_jnp_dtype(cfg):
+    """The config's compute dtype as a jnp dtype (inputs + activations;
+    params are cast in build_model)."""
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 class PaddedInterp:
     """Pad -> forward -> unpad for the interpolation models, re-jitting only
     when the padded geometry changes (shapes are static under jit)."""
@@ -59,6 +65,7 @@ class PaddedInterp:
         x0 = jnp.asarray(pad_frame(x0_np, plan)[None], self.dtype)
         x2 = jnp.asarray(pad_frame(x2_np, plan)[None], self.dtype)
         outs, offs, filts, occs = self._fn(x0.shape)(self.params, x0, x2)
+        self.last_out_dtype = outs[self.save_which].dtype  # observability/tests
         sel = np.asarray(outs[self.save_which], np.float32)[0]
         out = unpad_frame(sel, plan, H, W)
         aux = {
@@ -95,4 +102,5 @@ class PaddedVE:
         plan = pad_plan(H, W)
         frames = tuple(jnp.asarray(pad_frame(f, plan)[None], self.dtype) for f in frames_np)
         out = self._fn(frames[0].shape)(self.params, frames)
+        self.last_out_dtype = out.dtype  # observability/tests
         return unpad_frame(np.asarray(out, np.float32)[0], plan, H, W)

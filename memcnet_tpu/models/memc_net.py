@@ -118,11 +118,12 @@ class MEMCNet:
         o1 = 0.5 + forward_single_path(params, "initScaleNets_occlusion2", self.occ_branch_specs, t)
         return o0, o1
 
-    def _filters_and_occlusions(self, params, pair):
+    def _filters_and_occlusions(self, params, pair, training=False, bn_updates=None):
         """Filter + occlusion nets fused: identical specs on the same input
         run as grouped-conv walks (see mononet.forward_dual_path)."""
         t_f, t_o = forward_dual_path(
-            params, "initScaleNets_filter", "initScaleNets_occlusion", self.trunk_specs, pair
+            params, "initScaleNets_filter", "initScaleNets_occlusion", self.trunk_specs, pair,
+            training=training, bn_updates=bn_updates,
         )
         filters = forward_dual_path(
             params, "initScaleNets_filter1", "initScaleNets_filter2", self.filter_branch_specs, t_f
@@ -139,12 +140,17 @@ class MEMCNet:
         rin = jnp.concatenate((blended, offs[0], offs[1], filters[0], filters[1], occs[0], occs[1]), axis=1)
         return blended + forward_single_path(params, "rectifyNet", rectify_specs(self.rectify_in), rin)
 
-    def forward(self, params, x0, x2, *, training=False):
+    def forward(self, params, x0, x2, *, training=False, bn_updates=None):
         """x0/x2: (B, 3, H, W), H and W multiples of 128 (padded upstream).
-        Returns ((interp, rectified), (off0, off1), (filt0, filt1), (occ0, occ1))."""
+        Returns ((interp, rectified), (off0, off1), (filt0, filt1), (occ0, occ1)).
+
+        training=True switches BatchNorm to batch statistics (train mode);
+        pass a dict as ``bn_updates`` to collect the updated running stats
+        (keyed by parameter name) for the trainer to fold back into params."""
         pair = jnp.concatenate((x0, x2), axis=1)
         offs = self._flows(params, x0, x2, fillhole=not training)
-        filters, occs = self._filters_and_occlusions(params, pair)
+        filters, occs = self._filters_and_occlusions(
+            params, pair, training=training, bn_updates=bn_updates)
         fs = self.filter_size
         if self.has_ctx:
             # Image + context share flow/filter indices — warping the
@@ -176,9 +182,12 @@ class MEMCNet:
 
     def train_residuals(self, params, x0, x1, x2):
         """Training-mode loss residuals (MEMC_Net.py:132-137):
-        [interp - gt, rectified - gt]."""
-        (blended, rectified), offs, filters, occs = self.forward(params, x0, x2, training=True)
-        return [blended - x1, rectified - x1], offs, filters, occs
+        [interp - gt, rectified - gt].  The trailing element is the dict of
+        BatchNorm running-stat updates (empty for BN-free models)."""
+        bn_updates = {}
+        (blended, rectified), offs, filters, occs = self.forward(
+            params, x0, x2, training=True, bn_updates=bn_updates)
+        return [blended - x1, rectified - x1], offs, filters, occs, bn_updates
 
 
 class MEMCNetStar(MEMCNet):
@@ -235,9 +244,10 @@ class MEMCNetS(MEMCNet):
         o = filters[0][:, :1]
         return o, o  # MEMC_Net_s.py:111-114
 
-    def _filters_and_occlusions(self, params, pair):
+    def _filters_and_occlusions(self, params, pair, training=False, bn_updates=None):
         # single (thin) trunk; the two filter branches still pair up
-        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pair)
+        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pair,
+                                training=training, bn_updates=bn_updates)
         filters = forward_dual_path(
             params, "initScaleNets_filter1", "initScaleNets_filter2", self.filter_branch_specs, t
         )

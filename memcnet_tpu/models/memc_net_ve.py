@@ -52,7 +52,8 @@ class MEMCNetVE:
         p.update(ctx_mod.init_params(ks[4], dtype=dtype))
         return p
 
-    def forward(self, params, frames, *, training=False, debug=False):
+    def forward(self, params, frames, *, training=False, debug=False,
+                bn_updates=None):
         """frames: list of 7 arrays (B, 3, H, W); H, W multiples of 128.
         Returns the rectified center frame (B,3,H,W); with debug=True also
         (flow, filter) as in MEMC_Net_VE.py:287-290."""
@@ -70,7 +71,8 @@ class MEMCNetVE:
         ).reshape((6 * B, 6) + center.shape[2:])
         flow = upsample_bilinear(flownets.forward(params, pairs) * DIV_FLOW, 4)  # :292-296
 
-        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pairs)
+        t = forward_single_path(params, "initScaleNets_filter", self.trunk_specs, pairs,
+                                training=training, bn_updates=bn_updates)
         filt = forward_single_path(params, "initScaleNets_filter1", self.filter_branch_specs, t)
 
         fs = self.filter_size
@@ -114,9 +116,12 @@ class MEMCNetVE:
 
     def train_residuals(self, params, frames, y):
         """MEMC_Net_VE.py:270-275: per-neighbor warped-vs-target residuals plus
-        the rectified-vs-target residual in the center slot."""
-        outs, rectified = self.forward(params, frames, training=True)
+        the rectified-vs-target residual in the center slot.  Returns
+        (losses, bn_updates)."""
+        bn_updates = {}
+        outs, rectified = self.forward(
+            params, frames, training=True, bn_updates=bn_updates)
         losses = []
         for i in range(7):
             losses.append((rectified if i == 3 else outs[i]) - y)
-        return losses
+        return losses, bn_updates

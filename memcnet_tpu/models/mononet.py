@@ -114,7 +114,8 @@ def init_specs(key, specs, prefix, init_fn=I.kaiming_uniform, dtype=jnp.float32)
     return params
 
 
-def forward_dual_path(params, prefix_a, prefix_b, specs, x):
+def forward_dual_path(params, prefix_a, prefix_b, specs, x,
+                      training=False, bn_updates=None):
     """Two identical-spec networks on the SAME input as one grouped walk.
 
     The filter and occlusion MonoNets (and the paired conv_relu_conv
@@ -151,7 +152,18 @@ def forward_dual_path(params, prefix_a, prefix_b, specs, x):
                 )
                 for n in ("weight", "bias", "running_mean", "running_var")
             )
-            cur = L.batch_norm_eval(cur, g, bb, m, v)
+            if training:
+                # Per-channel batch stats over the concatenated channels are
+                # exactly the two nets' separate stats (channels independent).
+                cur, nm, nv = L.batch_norm_train(cur, g, bb, m, v)
+                if bn_updates is not None:
+                    h = nm.shape[0] // 2
+                    bn_updates[f"{prefix_a}.{idx}.running_mean"] = nm[:h]
+                    bn_updates[f"{prefix_b}.{idx}.running_mean"] = nm[h:]
+                    bn_updates[f"{prefix_a}.{idx}.running_var"] = nv[:h]
+                    bn_updates[f"{prefix_b}.{idx}.running_var"] = nv[h:]
+            else:
+                cur = L.batch_norm_eval(cur, g, bb, m, v)
         elif kind == "maxpool":
             stack.append(cur)
             cur = L.max_pool2d(cur, 2)
@@ -164,11 +176,15 @@ def forward_dual_path(params, prefix_a, prefix_b, specs, x):
     return cur[:, :half], cur[:, half:]
 
 
-def forward_single_path(params, prefix, specs, x):
+def forward_single_path(params, prefix, specs, x, training=False, bn_updates=None):
     """The stack-walk of MEMC_Net.forward_singlePath (MEMC_Net.py:154-178):
     push the tensor entering each pool, add the popped one after each
     upsample. (The 'offset' concat mode is dead in shipped models — every
-    call site passes 'filter'/'occlusion'/None.)"""
+    call site passes 'filter'/'occlusion'/None.)
+
+    With ``training=True``, BatchNorm layers use batch statistics
+    (nn.BatchNorm2d train mode) and, if ``bn_updates`` is a dict, record
+    their updated running stats into it keyed by parameter name."""
     stack = []
     cur = x
     for kind, idx, _meta in specs:
@@ -177,7 +193,17 @@ def forward_single_path(params, prefix, specs, x):
         elif kind == "relu":
             cur = L.relu(cur)
         elif kind == "bn":
-            cur = L.p_bn(params, f"{prefix}.{idx}", cur)
+            if training:
+                cur, nm, nv = L.batch_norm_train(
+                    cur, params[f"{prefix}.{idx}.weight"],
+                    params[f"{prefix}.{idx}.bias"],
+                    params[f"{prefix}.{idx}.running_mean"],
+                    params[f"{prefix}.{idx}.running_var"])
+                if bn_updates is not None:
+                    bn_updates[f"{prefix}.{idx}.running_mean"] = nm
+                    bn_updates[f"{prefix}.{idx}.running_var"] = nv
+            else:
+                cur = L.p_bn(params, f"{prefix}.{idx}", cur)
         elif kind == "maxpool":
             stack.append(cur)
             cur = L.max_pool2d(cur, 2)

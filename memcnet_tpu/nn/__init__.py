@@ -1,6 +1,7 @@
 from memcnet_tpu.nn.layers import (
     avg_pool2d,
     batch_norm_eval,
+    batch_norm_train,
     conv2d,
     conv_transpose2d,
     grid_sample_bilinear,
@@ -16,7 +17,7 @@ from memcnet_tpu.nn.layers import (
 )
 
 __all__ = [
-    "avg_pool2d", "batch_norm_eval", "conv2d", "conv_transpose2d",
+    "avg_pool2d", "batch_norm_eval", "batch_norm_train", "conv2d", "conv_transpose2d",
     "grid_sample_bilinear", "leaky_relu", "max_pool2d", "p_bn", "p_conv",
     "p_conv_transpose", "relu", "replication_pad2d", "sigmoid",
     "upsample_bilinear",

@@ -153,6 +153,33 @@ def batch_norm_eval(x, gamma, beta, running_mean, running_var, eps=1e-5):
     return x * scale.reshape(1, -1, 1, 1) + shift.reshape(1, -1, 1, 1)
 
 
+def batch_norm_train(x, gamma, beta, running_mean, running_var,
+                     momentum=0.1, eps=1e-5):
+    """BatchNorm2d in train mode (torch nn.BatchNorm2d semantics, as the
+    reference's BN-bearing MonoNets use it — networks/MEMC_Net.py:292-305).
+
+    Normalizes by the BIASED batch variance; updates the running statistics
+    with the UNBIASED variance at torch's default momentum 0.1:
+      running = (1 - momentum) * running + momentum * batch_stat.
+    Returns (y, new_running_mean, new_running_var); the running-stat updates
+    are gradient-stopped (they are state, not differentiable outputs)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(0, 2, 3))
+    var = jnp.square(x32 - mean.reshape(1, -1, 1, 1)).mean(axis=(0, 2, 3))
+    n = x.shape[0] * x.shape[2] * x.shape[3]
+    unbiased = var * (n / max(n - 1, 1))
+    rdt = running_mean.dtype
+    new_mean = ((1.0 - momentum) * running_mean.astype(jnp.float32)
+                + momentum * mean).astype(rdt)
+    new_var = ((1.0 - momentum) * running_var.astype(jnp.float32)
+               + momentum * unbiased).astype(rdt)
+    inv = lax.rsqrt(var + eps)
+    y = (x32 - mean.reshape(1, -1, 1, 1)) * (gamma.astype(jnp.float32) * inv).reshape(1, -1, 1, 1)
+    y = y + beta.astype(jnp.float32).reshape(1, -1, 1, 1)
+    return (y.astype(x.dtype),
+            lax.stop_gradient(new_mean), lax.stop_gradient(new_var))
+
+
 def max_pool2d(x, k=2, s=None):
     s = k if s is None else s
     return lax.reduce_window(

@@ -300,5 +300,9 @@ def filter_interp_warp_tiles(image_nhwc, wtap, plan, *, filter_size=4,
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, Cp), image_nhwc.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        # The default 16 MB scoped-vmem budget rejects tall tiles (the
+        # unrolled 16-tap FMA chain's stack); v5e has 128 MB of VMEM and the
+        # window scratch + accumulator are nowhere near it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(r0f, c0f, sxf, nxf, nyxf, img_p, wtap_p, plan["dy_rel"], plan["dx_rel"])
     return out[:, :H, :W, :C]

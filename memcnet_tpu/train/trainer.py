@@ -72,14 +72,20 @@ def make_interp_train_step(model, optimizer, alpha=(1.0, 1.0), eps=1e-6):
     both heads)."""
 
     def loss_fn(params, x0, x1, x2):
-        residuals, *_ = model.train_residuals(params, x0, x1, x2)
-        return residual_loss(residuals, list(alpha), eps)
+        residuals, _offs, _filt, _occ, bn_updates = model.train_residuals(
+            params, x0, x1, x2)
+        return residual_loss(residuals, list(alpha), eps), bn_updates
 
     def step(params, opt_state, x0, x1, x2):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x0, x1, x2)
+        (loss, bn_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x0, x1, x2)
         updates, opt_state = optimizer.update(
             grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
+        # BatchNorm running stats are state, not gradients: fold the
+        # train-mode moving-average updates back in (their grads are zero,
+        # so the optimizer left them untouched).
+        params = {**params, **bn_updates}
         return params, opt_state, loss
 
     return step
@@ -89,14 +95,16 @@ def make_ve_train_step(model, optimizer, eps=1e-6):
     """Train step for MEMC_Net_VE (7-frame window, center target)."""
 
     def loss_fn(params, frames, y):
-        residuals = model.train_residuals(params, frames, y)
-        return residual_loss(residuals, eps=eps)
+        residuals, bn_updates = model.train_residuals(params, frames, y)
+        return residual_loss(residuals, eps=eps), bn_updates
 
     def step(params, opt_state, frames, y):
-        loss, grads = jax.value_and_grad(loss_fn)(params, frames, y)
+        (loss, bn_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, y)
         updates, opt_state = optimizer.update(
             grads, opt_state, params, value=loss)
         params = optax.apply_updates(params, updates)
+        params = {**params, **bn_updates}
         return params, opt_state, loss
 
     return step

@@ -50,6 +50,28 @@ class TestDemoMiddlebury:
             assert any(f.startswith("frame10i11_diff") for f in files)
 
 
+class TestDtypePlumbing:
+    def test_bf16_demo_computes_in_bf16(self, middlebury_dirs, tmp_path):
+        """--dtype bfloat16 must reach the compute path, not just the params
+        (VERDICT r3 #9: the demos used to hardcode fp32 inputs)."""
+        import jax.numpy as jnp
+
+        from memcnet_tpu.cli.runner import PaddedInterp, build_model, cfg_jnp_dtype
+        from memcnet_tpu.utils.config import Config
+
+        cfg = Config(net_name="MEMC_Net_star", dtype="bfloat16")
+        model, params = build_model(cfg)
+        assert cfg_jnp_dtype(cfg) == jnp.bfloat16
+        fwd = PaddedInterp(model, params, save_which=cfg.save_which,
+                           dtype=cfg_jnp_dtype(cfg))
+        rng = np.random.RandomState(0)
+        x0 = rng.rand(3, 64, 96).astype(np.float32)
+        x2 = rng.rand(3, 64, 96).astype(np.float32)
+        out, _aux = fwd(x0, x2)
+        assert fwd.last_out_dtype == jnp.bfloat16
+        assert out.dtype == np.float32 and np.isfinite(out).all()
+
+
 class TestDemoHD720p:
     def test_end_to_end(self, tmp_path, rng):
         from memcnet_tpu.cli import demo_hd720p

@@ -117,8 +117,10 @@ class TestModelForward:
         model = M.get_model("MEMC_Net")
         params = model.init_params(jr.PRNGKey(0))
         x0, x1, x2 = (rng.rand(1, 3, 128, 128).astype(np.float32) for _ in range(3))
-        losses, offs, filts, occs = model.train_residuals(params, x0, x1, x2)
+        losses, offs, filts, occs, bn_updates = model.train_residuals(params, x0, x1, x2)
         assert len(losses) == 2
+        # MEMC_Net has BN MonoNets: train mode must produce running-stat updates
+        assert any(k.endswith("running_mean") for k in bn_updates)
         # gradient flows through both residuals
         def loss_fn(p):
             ls, *_ = model.train_residuals(p, x0, x1, x2)

@@ -50,6 +50,56 @@ def test_batch_norm_eval(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_batch_norm_train(rng):
+    """Train-mode BN vs torch: output normalized by batch stats AND the
+    running-stat moving-average update (momentum 0.1, unbiased var), as
+    nn.BatchNorm2d does in the reference's BN MonoNets
+    (networks/MEMC_Net.py:292-305)."""
+    x = rng.randn(3, 8, 6, 5).astype(np.float32) * 2 + 1
+    g = rng.rand(8).astype(np.float32) + 0.5
+    bta = rng.randn(8).astype(np.float32)
+    rm = rng.randn(8).astype(np.float32)
+    rv = rng.rand(8).astype(np.float32) + 0.1
+    t_rm, t_rv = t(rm.copy()), t(rv.copy())
+    want = F.batch_norm(t(x), t_rm, t_rv, t(g), t(bta), training=True,
+                        momentum=0.1, eps=1e-5).numpy()
+    got, new_m, new_v = mnn.batch_norm_train(x, g, bta, rm, rv)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+    # torch mutates the running stats in place
+    np.testing.assert_allclose(np.asarray(new_m), t_rm.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_v), t_rv.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_batch_norm_train_block_parity(rng):
+    """One conv-relu-bn MonoNet block in train mode vs the torch equivalent
+    (the reference's conv_relu_maxpool unit, MEMC_Net.py:292-305, sans pool)."""
+    import torch.nn as tnn
+
+    from memcnet_tpu.models.mononet import forward_single_path
+
+    x = rng.randn(2, 4, 12, 16).astype(np.float32)
+    block = tnn.Sequential(
+        tnn.Conv2d(4, 6, 3, padding=1), tnn.ReLU(), tnn.BatchNorm2d(6))
+    block.train()
+    params = {
+        "blk.0.weight": np.asarray(block[0].weight.detach()),
+        "blk.0.bias": np.asarray(block[0].bias.detach()),
+        "blk.2.weight": np.asarray(block[2].weight.detach()),
+        "blk.2.bias": np.asarray(block[2].bias.detach()),
+        "blk.2.running_mean": np.asarray(block[2].running_mean),
+        "blk.2.running_var": np.asarray(block[2].running_var),
+    }
+    specs = [("conv", 0, (4, 6)), ("relu", 1, None), ("bn", 2, 6)]
+    upd = {}
+    got = forward_single_path(params, "blk", specs, x, training=True, bn_updates=upd)
+    want = block(t(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["blk.2.running_mean"]),
+                               block[2].running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd["blk.2.running_var"]),
+                               block[2].running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("H,W", [(8, 8), (7, 9)])
 def test_max_pool2d(rng, H, W):
     x = rng.randn(2, 3, H, W).astype(np.float32)

@@ -62,6 +62,47 @@ class TestInterpTraining:
         assert nonzero > 0.8 * len(grads), (nonzero, len(grads))
 
 
+class TestBatchNormTraining:
+    """Training-mode BatchNorm on the BN-bearing models (VERDICT r3 #4):
+    batch statistics drive normalization and the running stats move."""
+
+    def test_running_stats_update_and_loss_decreases(self, rng):
+        model = M.get_model("MEMC_Net")  # BN MonoNets (MEMC_Net.py:292-305)
+        params = model.init_params(jr.PRNGKey(0))
+        opt = make_optimizer(lr=1e-4)
+        opt_state = opt.init(params)
+        step = jax.jit(make_interp_train_step(model, opt))
+
+        x0 = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+        x2 = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+        x1 = (x0 + x2) / 2
+        bn_keys = [k for k in params if k.endswith("running_mean")]
+        assert bn_keys, "MEMC_Net must carry BN running stats"
+        before = {k: np.asarray(params[k]) for k in bn_keys}
+
+        losses = []
+        for _ in range(4):
+            params, opt_state, loss = step(params, opt_state, x0, x1, x2)
+            losses.append(float(loss))
+        assert all(np.isfinite(l) for l in losses), losses
+        assert losses[-1] < losses[1], losses
+        moved = sum(
+            int(not np.allclose(before[k], np.asarray(params[k]))) for k in bn_keys)
+        assert moved == len(bn_keys), f"only {moved}/{len(bn_keys)} BN stats moved"
+
+    def test_thin_model_bn_updates(self, rng):
+        model = M.get_model("MEMC_Net_s")
+        params = model.init_params(jr.PRNGKey(0))
+        res, _o, _f, _oc, upd = model.train_residuals(
+            params,
+            jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32)),
+            jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32)),
+            jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32)))
+        assert any(k.endswith("running_mean") for k in upd)
+        # all updates name existing running-stat params
+        assert all(k in params and ("running_" in k) for k in upd)
+
+
 class TestVETraining:
     def test_step_runs(self, rng):
         model = M.get_model("MEMC_Net_VE")
@@ -78,6 +119,44 @@ class TestVETraining:
             int(bool(jnp.any(p2[k] != params[k]))) for k in list(params)[:20]
         )
         assert changed > 0
+        # VE is BN-bearing: the step must move its running stats too
+        bn_keys = [k for k in params if k.endswith("running_mean")]
+        assert bn_keys
+        assert all(bool(jnp.any(p2[k] != params[k])) for k in bn_keys)
+
+    def test_grads_reach_all_subnets_and_loss_decreases(self, rng):
+        """VERDICT r3 #8: exercise the VE train path — grads must reach
+        flownets/ctx/EDSR (residual structure: MEMC_Net_VE.py:270-275) and a
+        few overfit steps must descend."""
+        from memcnet_tpu.train.loss import residual_loss
+
+        model = M.get_model("MEMC_Net_VE")
+        params = model.init_params(jr.PRNGKey(0))
+        frames = [jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+                  for _ in range(7)]
+        y = frames[3] * 0.9 + 0.05
+
+        def loss_fn(p):
+            residuals, _bn = model.train_residuals(p, frames, y)
+            return residual_loss(residuals)
+
+        grads = jax.grad(loss_fn)(params)
+        for prefix in ("flownets", "ctxNet", "rectifyNet", "initScaleNets_filter"):
+            sub = [k for k in grads if k.startswith(prefix)
+                   and "running_" not in k]
+            assert sub, prefix
+            live = sum(int(bool(jnp.any(grads[k] != 0))) for k in sub)
+            assert live > 0.5 * len(sub), (prefix, live, len(sub))
+
+        opt = make_optimizer(lr=1e-4)
+        opt_state = opt.init(params)
+        step = jax.jit(make_ve_train_step(model, opt))
+        losses = []
+        for _ in range(4):
+            params, opt_state, loss = step(params, opt_state, frames, y)
+            losses.append(float(loss))
+        assert all(np.isfinite(l) for l in losses), losses
+        assert losses[-1] < losses[1], losses
 
 
 FIXTURES = "/root/reference/vimeo_video_enhancement_test/input"
@@ -103,7 +182,10 @@ class TestUpstreamHyperparameters:
 
         grads = jax.grad(loss_fn)(params)
         rect = [k for k in grads if k.startswith("rectifyNet")]
-        other = [k for k in grads if not k.startswith("rectifyNet")]
+        # BN running stats are unused in train mode (batch stats drive the
+        # normalization), so they legitimately carry zero grads
+        other = [k for k in grads
+                 if not k.startswith("rectifyNet") and "running_" not in k]
         assert rect and all(not bool(jnp.any(grads[k] != 0)) for k in rect)
         assert sum(int(bool(jnp.any(grads[k] != 0))) for k in other) > 0.8 * len(other)
 
@@ -169,7 +251,8 @@ class TestTripletPipeline:
         opt_state = opt.init(params)
         params, opt_state, hist = fit(
             model, params, step, opt_state, ds.batches(1, shuffle=False),
-            steps=4)
-        assert len(hist) == 4 and all(np.isfinite(h) for h in hist)
-        # Adamax overshoots from random init on step 0; descent after that
-        assert hist[-1] < hist[1], hist
+            steps=8)
+        assert len(hist) == 8 and all(np.isfinite(h) for h in hist)
+        # Adamax overshoots from random init on step 0, and train-mode BN at
+        # batch size 1 makes individual steps noisy; require net descent
+        assert min(hist[4:]) < hist[1], hist
