@@ -119,14 +119,30 @@ def main(argv=None):
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        # The session image's sitecustomize force-registers the axon TPU
+        # backend ahead of JAX_PLATFORMS; honor the env explicitly so a
+        # CPU-platform multi-process run (JAX_PLATFORMS=cpu, coordinator via
+        # JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID) works.
+        if os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        # jax 0.9 only auto-detects process topology on managed clusters
+        # (TPU metadata, SLURM, ...); for plain multi-process launches pass
+        # the three standard env vars through explicitly.
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
         print(f"distributed runtime up: process {jax.process_index()}/"
               f"{jax.process_count()}, {jax.device_count()} devices",
               file=sys.stderr)
     cfg = config_from_args(args)
     return run(cfg, args.yuv, args.height, args.width, args.out_dir,
                args.frames, gop_len=args.gop_len, journal=args.journal,
-               trace_dir=args.trace_dir)
+               trace_dir=args.trace_dir, uid=cfg.uid)
 
 
 if __name__ == "__main__":

@@ -100,3 +100,43 @@ class GopScheduler:
         mine = self.local_gops()
         done = sum(1 for g in mine if g.gop_id in self._done)
         return done, len(mine)
+
+
+def stitch_parts(part_paths, out_path, *, n_frames, height, width,
+                 gop_len=16, step=2, frames_per_pair=2):
+    """Merge per-host `.partN` YUV420 stream segments into the single-process
+    output order.
+
+    Each host writes its owned GOPs (round-robin by gop_id, GopScheduler
+    semantics) sequentially into its own part file; within a GOP every frame
+    pair contributes `frames_per_pair` frames (demo_hd720p writes IMAGE1 +
+    reconstruction, demo_HD720p.py:149-151).  Stitching walks gops in gop_id
+    order and copies each GOP's byte chunk from its owner's part file, so the
+    result is byte-identical to a 1-process run.  All GOPs must be complete
+    (journal-complete) — a truncated trailing GOP raises.
+
+    part_paths: list indexed by process slot (len == process_count).
+    """
+    frame_bytes = height * width * 3 // 2  # YUV420 planar
+    gops = split_gops(n_frames, gop_len, step)
+    nproc = len(part_paths)
+    offsets = [0] * nproc
+    handles = [open(p, "rb") for p in part_paths]
+    try:
+        with open(out_path, "wb") as out:
+            for g in gops:
+                owner = g.gop_id % nproc
+                nbytes = len(g.pairs()) * frames_per_pair * frame_bytes
+                h = handles[owner]
+                h.seek(offsets[owner])
+                chunk = h.read(nbytes)
+                if len(chunk) != nbytes:
+                    raise ValueError(
+                        f"part {owner} truncated at gop {g.gop_id}: "
+                        f"wanted {nbytes} bytes, got {len(chunk)}")
+                offsets[owner] += nbytes
+                out.write(chunk)
+    finally:
+        for h in handles:
+            h.close()
+    return out_path

@@ -71,22 +71,16 @@ def main():
         img_nhwc = image.transpose(0, 2, 3, 1)
         return wk.filter_interp_warp_tiles(img_nhwc, wtap, plan, filter_size=fs)
 
-    img, flow, filt = mk(67, 0.5)
+    img, flow, filt = mk(67, 0.15)
 
     for th, sh in [(8, 32), (16, 40), (32, 56), (64, 88)]:
         wk.TH, wk.SH = th, sh
         try:
-            timeit(f"kernel TH={th} SH={sh} |f|~0.5", kernel_only, img, flow, filt)
+            timeit(f"kernel TH={th} SH={sh} |f|~0.15", kernel_only, img, flow, filt)
         except Exception as e:
             print(f"TH={th} failed: {type(e).__name__}: {str(e)[:200]}")
     wk.TH, wk.SH = 8, 32
 
-    # moderate-spread flow at the best tile size
-    img2, flow2, filt2 = mk(67, 2.0)
-    for th, sh in [(8, 32), (32, 56)]:
-        wk.TH, wk.SH = th, sh
-        timeit(f"kernel TH={th} SH={sh} |f|~2.0", kernel_only, img2, flow2, filt2)
-    wk.TH, wk.SH = 8, 32
 
 
 if __name__ == "__main__":
