@@ -156,6 +156,114 @@ def _warp_kernel(fs, grid_n, out_dtype,
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Band-window variant: one full-width window DMA per (TH-row) band, tiles
+# walked by an in-kernel loop.
+#
+# Why: the per-tile window pipeline above costs ~10 us/tile of Pallas grid
+# machinery at 720p (1056 tiles -> ~10 ms of the ~18 ms/warp; measured on
+# v5e via the dmaonly ablation in tools/bench_warp_ablate2.py).  A band
+# window is ONE contiguous HBM block (full padded rows), so 96 band DMAs
+# replace 1056 strided window DMAs, and the column budget disappears
+# entirely (the window spans every column a valid pixel can touch), leaving
+# only a per-band row budget + a per-tile bucket-count cap.  The per-tile
+# compute (offset-bucket rolls + fs^2 masked FMAs) is unchanged, with a
+# no-mask fast path for single-bucket tiles (smooth/production flows).
+# ---------------------------------------------------------------------------
+
+BSH = 40  # band window rows: row budget = BSH - TH - fs + 2 (=30 at fs=4)
+BUCKET_CAP = 48  # per-tile ny*nx beyond which the XLA fallback wins (perf)
+
+
+def _warp_band_kernel(fs, nb, ntw, SH, out_dtype,
+                      row0_f, dylo_f, qa0_f, r0_f, nx_f, nyx_f,  # prefetch
+                      img_hbm, wtap_ref, dyr_ref, dxr_ref,       # inputs
+                      out_ref,                                   # (1, ntw*TH, TW, Cp)
+                      win_ref, acc_ref, sem):                    # scratch
+    g = pl.program_id(0)
+    sub = _sublane(win_ref.dtype)
+    width = _slab_width(win_ref.dtype)
+
+    def start_dma(slot, gg):
+        return pltpu.make_async_copy(
+            img_hbm.at[gg // nb, pl.ds(row0_f[gg], SH), :, :],
+            win_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(0, g).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        start_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    start_dma(slot, g).wait()
+
+    def tile(t, _):
+        base = g * ntw + t
+        nyx = nyx_f[base]
+
+        def wk_plane(k):
+            # wtap layout (fs2, ntw, TH) flattened on dim 1
+            return wtap_ref[0, pl.ds((k * ntw + t) * TH, TH), :]
+
+        def slab_for(dyk, dxk):
+            q = ((r0_f[base] + dxk) // sub) * sub
+            qa = pl.multiple_of(qa0_f[base] + q, sub)
+            r = r0_f[base] + dxk - q
+            slab = win_ref[slot, pl.ds(dylo_f[base] + dyk, TH + fs - 1),
+                           pl.ds(qa, width), :]
+            # f32 before the rotate (tpu.dynamic_rotate is 32-bit only); the
+            # non-negative equivalent of -r (see _warp_kernel)
+            return pltpu.roll(slab.astype(jnp.float32), width - r, axis=1)
+
+        def fma(slab, wsel):
+            a = jnp.zeros_like(acc_ref)
+            for j in range(fs):
+                for i in range(fs):
+                    w = wsel(j * fs + i)
+                    tap = slab[j:j + TH, i:i + TW, :]
+                    a = a + w[:, :, None] * tap
+            acc_ref[:] = acc_ref[:] + a
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(nyx == 1)
+        def _():
+            # Single offset bucket: every valid pixel matches (dy_rel, dx_rel)
+            # == (0, 0) and invalid pixels carry zero tap weights, so the
+            # match mask is the identity -> skip it (the production regime:
+            # smooth flows land almost every tile here).
+            fma(slab_for(0, 0), wk_plane)
+
+        @pl.when(nyx > 1)
+        def _():
+            nx = nx_f[base]
+            dyrt = dyr_ref[0, pl.ds(t * TH, TH), :]
+            dxrt = dxr_ref[0, pl.ds(t * TH, TH), :]
+
+            def bucket(k, _c):
+                dyk = k // nx
+                dxk = k - dyk * nx
+                match = (dyrt == dyk) & (dxrt == dxk)
+
+                @pl.when(jnp.any(match))
+                def _():
+                    m = match.astype(jnp.float32)
+                    fma(slab_for(dyk, dxk), lambda kk: wk_plane(kk) * m)
+
+                return 0
+
+            jax.lax.fori_loop(0, nyx, bucket, 0)
+
+        out_ref[0, pl.ds(t * TH, TH), :, :] = acc_ref[:].astype(out_dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ntw, tile, 0)
+
+
 def plan_tiles(dy, dx, valid, filter_size, dtype=jnp.float32):
     """Per-tile offset stats for the kernel (all XLA reductions, ~free).
 
@@ -306,3 +414,139 @@ def filter_interp_warp_tiles(image_nhwc, wtap, plan, *, filter_size=4,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(r0f, c0f, sxf, nxf, nyxf, img_p, wtap_p, plan["dy_rel"], plan["dx_rel"])
     return out[:, :H, :W, :C]
+
+
+def plan_band_tiles(dy, dx, valid, filter_size, dtype=jnp.float32, sh=BSH):
+    """Band-kernel plan: per-tile offset stats (plan_tiles) + per-band window
+    anchors and the band-geometry ok gate.  All XLA reductions."""
+    fs = filter_size
+    _B, H, _W = dy.shape
+    p = plan_tiles(dy, dx, valid, fs, dtype)
+    B, nth, ntw = p["dy_lo"].shape
+    pt = TH + fs
+    HP = pt + H + sh + fs
+    sub = _sublane(dtype)
+    big = jnp.int32(1 << 20)
+
+    live = p["ny"] > 0
+    ty0 = jnp.arange(nth, dtype=jnp.int32)[None, :, None] * TH
+    rowneed = jnp.where(live, pt + ty0 + p["dy_lo"], big)
+    row0 = jnp.clip(rowneed.min(axis=2), 0, HP - sh)  # (B, nth)
+    dylo_off = jnp.where(live, pt + ty0 + p["dy_lo"] - row0[:, :, None], 0)
+
+    budget = sh - TH - fs + 2
+    ok = (jnp.all(jnp.where(live, dylo_off + p["ny"], 0) <= budget)
+          & jnp.all(jnp.where(live, p["ny"] * p["nx"], 0) <= BUCKET_CAP))
+
+    pl_cols = TW + fs  # left pad; guarantees qa >= 0 (see launcher docstring)
+    tx0 = jnp.arange(ntw, dtype=jnp.int32)[None, None, :] * TW
+    dxs0 = jnp.where(live, pl_cols + tx0 + p["dx_lo"], 0)
+    qa0 = (dxs0 // sub) * sub
+    r0 = dxs0 - qa0
+
+    G = B * nth
+    return dict(
+        p,
+        band_ok=ok,
+        row0=row0.reshape(G),
+        dylo=dylo_off.reshape(G * ntw),
+        qa0=qa0.reshape(G * ntw),
+        r0=r0.reshape(G * ntw),
+        nyx=(p["ny"] * p["nx"]).reshape(G * ntw),
+        nxf=jnp.maximum(p["nx"], 1).reshape(G * ntw),
+        pt=pt, pl_cols=pl_cols, HP=HP, sh=sh,
+    )
+
+
+def filter_interp_warp_bands(image_nhwc, wtap, plan, *, filter_size=4,
+                             interpret=False):
+    """Run the band-window kernel; returns (B, C, H, W) NCHW accumulator.
+
+    image_nhwc: (B, H, W, C) unpadded source; wtap: (B, fs*fs, H, W) fused
+    tap weights (zeroed where invalid); plan: ``plan_band_tiles`` output.
+    Only valid when plan["band_ok"] (callers gate with lax.cond).
+
+    Geometry invariants (holding whenever band_ok):
+      * rows: window [row0, row0 + sh) covers every tap row of every valid
+        pixel in the band — dylo_off + ny <= sh - TH - fs + 2, and row0
+        never clips (PT = TH + fs, PB = sh + fs margins).
+      * cols: the window spans the full padded width, so ANY horizontal
+        offset of a valid pixel is in-window: the aligned slab start
+        qa = align_down(PL + tx0 + dx_lo + dxk) satisfies qa >= 0 (because
+        PL = TW + fs >= TW + half - 1 and tap columns of valid pixels are
+        >= 1 - half) and qa + slab_width <= WSP (because tap columns are
+        <= W + fs and WSP rounds PL + W + slab_width up to a lane tile).
+        There is NO column budget — only the row budget and the per-tile
+        BUCKET_CAP perf gate.
+    """
+    fs = filter_size
+    B, H, W, C = image_nhwc.shape
+    nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
+    sh, pt, pl_cols, HP = plan["sh"], plan["pt"], plan["pl_cols"], plan["HP"]
+    sub = _sublane(image_nhwc.dtype)
+    width = _slab_width(image_nhwc.dtype)
+    Cp = _ceil_to(C, 128)
+    WSP = _ceil_to(pl_cols + W + width + sub, 128)
+    img_p = jnp.pad(
+        image_nhwc,
+        ((0, 0), (pt, HP - pt - H), (pl_cols, WSP - pl_cols - W), (0, Cp - C)),
+        mode="edge")
+
+    G = B * nth
+
+    # wtap -> (G, fs2*ntw*TH, TW): tap plane (k, tile t) is rows
+    # [(k*ntw + t)*TH, +TH) — an untiled-dim slice, legal at any dynamic
+    # offset.  Same trick for the offset maps.
+    wtap_p = jnp.pad(wtap.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+    wtap_r = (wtap_p.reshape(B, fs * fs, nth, TH, ntw, TW)
+              .transpose(0, 2, 1, 4, 3, 5).reshape(G, fs * fs * ntw * TH, TW))
+
+    def remap(m):
+        return (m.reshape(B, nth, TH, ntw, TW)
+                .transpose(0, 1, 3, 2, 4).reshape(G, ntw * TH, TW))
+
+    dyr = remap(plan["dy_rel"])
+    dxr = remap(plan["dx_rel"])
+
+    def band_idx(g, *_refs):
+        return g, 0, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # img_p stays in HBM
+            pl.BlockSpec((1, fs * fs * ntw * TH, TW), band_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ntw * TH, TW, Cp),
+                               lambda g, *_r: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, sh, WSP, Cp), img_p.dtype),
+            pltpu.VMEM((TH, TW, Cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kern(r0s, dylos, qa0s, r0cs, nxs, nyxs, img, wt, dyrr, dxrr,
+             out, win, acc, sem):
+        _warp_band_kernel(fs, nth, ntw, sh, image_nhwc.dtype,
+                          r0s, dylos, qa0s, r0cs, nxs, nyxs,
+                          img, wt, dyrr, dxrr, out, win, acc, sem)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((G, ntw * TH, TW, Cp), image_nhwc.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(plan["row0"], plan["dylo"], plan["qa0"], plan["r0"], plan["nxf"],
+      plan["nyx"], img_p, wtap_r, dyr, dxr)
+    # (B, nb, ntw, TH, TW, Cp) -> NCHW in one fused transpose
+    out = (out.reshape(B, nth, ntw, TH, TW, Cp)
+           .transpose(0, 5, 1, 3, 2, 4).reshape(B, Cp, Hp, Wp))
+    return out[:, :C, :H, :W]

@@ -223,7 +223,14 @@ def _xla_forward_chunked(image, flow, filt, filter_size):
 
 
 def _fast_forward(image, flow, filt, filter_size, interpret=False):
-    """Pallas window-kernel forward with whole-frame XLA fallback (exact)."""
+    """Pallas band-kernel forward with whole-frame XLA fallback (exact).
+
+    The band window kernel (one full-width window DMA per 8-row band, tiles
+    walked in-kernel) replaced the per-tile window kernel on this path in r4:
+    same per-tile bucket compute, ~10 ms/warp less grid-pipeline overhead at
+    720p, and no column budget (fallbacks now only trigger on vertical
+    spread or pathological bucket counts).  The per-tile kernel
+    (`filter_interp_warp_tiles`) remains available for A/B runs."""
     B, C, H, W = image.shape
     fs, half = filter_size, filter_size // 2
     assert filt.shape[1] == fs * fs, (filt.shape, fs)
@@ -233,15 +240,14 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
     xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     dy = iy + (1 - half) - ys  # tap (j,i) reads source (y+dy+j, x+dx+i)
     dx = ix + (1 - half) - xs
-    plan = _wk.plan_tiles(dy, dx, valid, fs, image.dtype)
+    plan = _wk.plan_band_tiles(dy, dx, valid, fs, image.dtype)
     wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
     img_nhwc = image.transpose(0, 2, 3, 1)
 
     def pallas_branch(_):
-        acc = _wk.filter_interp_warp_tiles(
+        return _wk.filter_interp_warp_bands(
             img_nhwc, wtap, plan, filter_size=fs, interpret=interpret
         )
-        return acc.transpose(0, 3, 1, 2)
 
     def xla_branch(_):
         # Recomputes the select too, but where(valid, ...) below is idempotent.
@@ -250,7 +256,7 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
         # one row band instead of a whole-frame patch tensor.
         return _xla_forward_chunked(image, flow, filt, fs)
 
-    acc = jax.lax.cond(plan["ok"], pallas_branch, xla_branch, None)
+    acc = jax.lax.cond(plan["band_ok"], pallas_branch, xla_branch, None)
     return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
 
 
