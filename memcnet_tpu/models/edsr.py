@@ -37,6 +37,35 @@ def init_params(key, n_colors, n_resblocks=10, n_feats=128, prefix="rectifyNet",
 
 def forward(params, x, n_resblocks=10, prefix="rectifyNet"):
     h = L.p_conv(params, f"{prefix}.head.0", x, padding=1)
+    return _body(params, h, n_resblocks, prefix)
+
+
+def forward_pieces(params, pieces, n_resblocks=10, prefix="rectifyNet"):
+    """EDSR forward taking the rectify input as a LIST of channel pieces.
+
+    conv(concat(pieces)) == sum_i conv_i(piece_i) with the head weight sliced
+    along its input-channel axis — numerically identical (f32-exact: the
+    contraction order over channels is unchanged within each piece and the
+    cross-piece sum matches XLA's K-split accumulation to fp tolerance).
+    This avoids materializing the (B, 169|577, H, W) concat (348 MB at 720p)
+    AND decouples the head conv's layout from the concat producers — the
+    fused 169-ch head conv regressed to 31 ms on v5e when the r4 warp kernel
+    changed its input layouts; per-piece convs stay on the fast path."""
+    w = params[f"{prefix}.head.0.weight"]
+    b = params[f"{prefix}.head.0.bias"]
+    off = 0
+    h = None
+    for piece in pieces:
+        c = piece.shape[1]
+        part = L.conv2d(piece, w[:, off:off + c], None, stride=1, padding=1)
+        h = part if h is None else h + part
+        off += c
+    assert off == w.shape[1], (off, w.shape)
+    h = h + b.reshape(1, -1, 1, 1).astype(h.dtype)
+    return _body(params, h, n_resblocks, prefix)
+
+
+def _body(params, h, n_resblocks, prefix):
     res = h
     for i in range(n_resblocks):
         r = L.p_conv(params, f"{prefix}.body.{i}.body.0", res, padding=1)

@@ -210,11 +210,11 @@ class MEMCNetStar(MEMCNet):
                                 init_fn=self.init_fn, dtype=dtype)
 
     def _rectify(self, params, blended, offs, filters, occs, ctxs):
-        rin = jnp.concatenate(
-            (blended, offs[0], offs[1], filters[0], filters[1], occs[0], occs[1], ctxs[0], ctxs[1]),
-            axis=1,
-        )  # MEMC_Net_star.py:142-147
-        return blended + edsr.forward(params, rin, n_resblocks=10)
+        # MEMC_Net_star.py:142-147 channel order; the concat itself is never
+        # materialized — the EDSR head conv runs per piece (edsr.forward_pieces)
+        pieces = (blended, offs[0], offs[1], filters[0], filters[1],
+                  occs[0], occs[1], ctxs[0], ctxs[1])
+        return blended + edsr.forward_pieces(params, pieces, n_resblocks=10)
 
 
 class MEMCNetS(MEMCNet):

@@ -416,6 +416,101 @@ def filter_interp_warp_tiles(image_nhwc, wtap, plan, *, filter_size=4,
     return out[:, :H, :W, :C]
 
 
+def _warp_band_hcw_kernel(fs, nb, ntw, SH, out_dtype,
+                          row0_f, dylo_f, r0c_f, nx_f, nyx_f,   # prefetch
+                          img_hbm, wtap_ref, dyr_ref, dxr_ref,  # inputs
+                          out_ref,                              # (1, ntw*TH, Cp, TW)
+                          win_ref, acc_ref, sem):               # scratch
+    """HCW-layout band kernel: window rows are (Cp, W) planes with W on the
+    VECTOR LANES and channels on sublanes.
+
+    Why this layout (v5e ablation, tools /tmp band ablation r4): in the
+    channels-on-lanes kernel every tap FMA needs the (TH, TW) weight plane
+    relaid from lanes onto sublanes — a per-tap transpose costing ~7 ms of
+    an 23 ms warp call.  Here ``w[:, None, :]`` broadcasts across the
+    sublane (channel) axis natively.  The cost moves to fs lane-rolls per
+    bucket (x-alignment must now be done in the lane dimension), which are
+    cheaper, and the model-side NCHW<->NHWC transposes disappear (input is
+    (B, H, C, W) — one cheap middle-axis swap from NCHW).
+    """
+    g = pl.program_id(0)
+    LW = 3 * TW  # per-tile lane window: covers |dx| <= TW - fs
+
+    def start_dma(slot, gg):
+        return pltpu.make_async_copy(
+            img_hbm.at[gg // nb, pl.ds(row0_f[gg], SH), :, :],
+            win_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(0, g).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        start_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    start_dma(slot, g).wait()
+
+    def tile(t, _):
+        base = g * ntw + t
+        nyx = nyx_f[base]
+        # window lanes [(t+1)*TW, (t+4)*TW): lane xr of roll i reads absolute
+        # padded col 2*TW + (x + dx + i) (launcher pads PL = 2*TW columns
+        # left), i.e. rel col TW + xr + dx + i -> roll base r = TW + dx + i
+        ls = pl.multiple_of((t + 1) * TW, TW)
+
+        def wk_plane(k):
+            return wtap_ref[0, pl.ds((k * ntw + t) * TH, TH), :]  # (TH, TW)
+
+        def rolled_slabs(dyk, dxk):
+            rows = win_ref[slot, pl.ds(dylo_f[base] + dyk, TH + fs - 1), :,
+                           pl.ds(ls, LW)].astype(jnp.float32)
+            r0 = r0c_f[base] + dxk
+            return [pltpu.roll(rows, LW - (r0 + i), axis=2) for i in range(fs)]
+
+        def fma(slabs, wsel):
+            a = jnp.zeros_like(acc_ref)  # (TH, Cp, TW)
+            for j in range(fs):
+                for i in range(fs):
+                    w = wsel(j * fs + i)            # (TH, TW), lanes = TW
+                    tap = slabs[i][j:j + TH, :, :TW]
+                    a = a + w[:, None, :] * tap     # broadcast over sublanes
+            acc_ref[:] = acc_ref[:] + a
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(nyx == 1)
+        def _():
+            fma(rolled_slabs(0, 0), wk_plane)
+
+        @pl.when(nyx > 1)
+        def _():
+            nx = nx_f[base]
+            dyrt = dyr_ref[0, pl.ds(t * TH, TH), :]
+            dxrt = dxr_ref[0, pl.ds(t * TH, TH), :]
+
+            def bucket(k, _c):
+                dyk = k // nx
+                dxk = k - dyk * nx
+                match = (dyrt == dyk) & (dxrt == dxk)
+
+                @pl.when(jnp.any(match))
+                def _():
+                    m = match.astype(jnp.float32)
+                    fma(rolled_slabs(dyk, dxk), lambda kk: wk_plane(kk) * m)
+
+                return 0
+
+            jax.lax.fori_loop(0, nyx, bucket, 0)
+
+        out_ref[0, pl.ds(t * TH, TH), :, :] = acc_ref[:].astype(out_dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ntw, tile, 0)
+
+
 def plan_band_tiles(dy, dx, valid, filter_size, dtype=jnp.float32, sh=BSH):
     """Band-kernel plan: per-tile offset stats (plan_tiles) + per-band window
     anchors and the band-geometry ok gate.  All XLA reductions."""
@@ -444,14 +539,24 @@ def plan_band_tiles(dy, dx, valid, filter_size, dtype=jnp.float32, sh=BSH):
     qa0 = (dxs0 // sub) * sub
     r0 = dxs0 - qa0
 
+    # HCW-kernel column fields: roll base r = TW + dx (left pad 2*TW; the
+    # per-tile lane window [t*TW, t*TW + 3*TW) covers |dx| <= TW - fs)
+    dx_hi = p["dx_lo"] + p["nx"] - 1
+    hcw_ok = (ok
+              & jnp.all(jnp.where(live, -p["dx_lo"], 0) <= TW - fs)
+              & jnp.all(jnp.where(live, dx_hi, 0) <= TW - fs))
+    r0c = jnp.clip(jnp.where(live, TW + p["dx_lo"], 0), 0, 2 * TW)
+
     G = B * nth
     return dict(
         p,
         band_ok=ok,
+        hcw_ok=hcw_ok,
         row0=row0.reshape(G),
         dylo=dylo_off.reshape(G * ntw),
         qa0=qa0.reshape(G * ntw),
         r0=r0.reshape(G * ntw),
+        r0c=r0c.reshape(G * ntw),
         nyx=(p["ny"] * p["nx"]).reshape(G * ntw),
         nxf=jnp.maximum(p["nx"], 1).reshape(G * ntw),
         pt=pt, pl_cols=pl_cols, HP=HP, sh=sh,
@@ -549,4 +654,86 @@ def filter_interp_warp_bands(image_nhwc, wtap, plan, *, filter_size=4,
     # (B, nb, ntw, TH, TW, Cp) -> NCHW in one fused transpose
     out = (out.reshape(B, nth, ntw, TH, TW, Cp)
            .transpose(0, 5, 1, 3, 2, 4).reshape(B, Cp, Hp, Wp))
+    return out[:, :C, :H, :W]
+
+
+def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
+                                 interpret=False):
+    """Run the HCW band kernel directly on NCHW input; returns NCHW.
+
+    Geometry: columns are padded by PL = 2*TW on the left so the per-tile
+    lane window [t*TW, t*TW + 3*TW) covers every tap column of every valid
+    pixel whenever plan["hcw_ok"] (|dx| <= TW - fs per tile); rows as in
+    ``filter_interp_warp_bands``.  Lane roll i of bucket (dyk, dxk) aligns
+    lane xr with absolute padded column 2*TW + x + dx + i (r = TW + dx + i
+    relative to the window start t*TW + ... see _warp_band_hcw_kernel).
+    """
+    fs = filter_size
+    B, C, H, W = image_nchw.shape
+    nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
+    sh, pt, HP = plan["sh"], plan["pt"], plan["HP"]
+    Cp = _ceil_to(C, 128)
+    PL = 2 * TW
+    WSP = _ceil_to(Wp + 3 * TW, TW)  # lane window of the last tile must fit
+    # C zero-pad first, then spatial edge pad (edge rows/cols of the zero
+    # channels stay zero), then NCHW -> (B, H, Cp, W) middle-axis swap.
+    img_p = jnp.pad(image_nchw, ((0, 0), (0, Cp - C), (0, 0), (0, 0)))
+    img_p = jnp.pad(img_p,
+                    ((0, 0), (0, 0), (pt, HP - pt - H), (PL, WSP - PL - W)),
+                    mode="edge")
+    img_p = img_p.transpose(0, 2, 1, 3)  # (B, HP, Cp, WSP)
+
+    G = B * nth
+    wtap_p = jnp.pad(wtap.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+    wtap_r = (wtap_p.reshape(B, fs * fs, nth, TH, ntw, TW)
+              .transpose(0, 2, 1, 4, 3, 5).reshape(G, fs * fs * ntw * TH, TW))
+
+    def remap(m):
+        return (m.reshape(B, nth, TH, ntw, TW)
+                .transpose(0, 1, 3, 2, 4).reshape(G, ntw * TH, TW))
+
+    dyr = remap(plan["dy_rel"])
+    dxr = remap(plan["dx_rel"])
+
+    def band_idx(g, *_refs):
+        return g, 0, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # img_p stays in HBM
+            pl.BlockSpec((1, fs * fs * ntw * TH, TW), band_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ntw * TH, Cp, TW),
+                               lambda g, *_r: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, sh, Cp, WSP), img_p.dtype),
+            pltpu.VMEM((TH, Cp, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kern(r0s, dylos, r0cs, nxs, nyxs, img, wt, dyrr, dxrr,
+             out, win, acc, sem):
+        _warp_band_hcw_kernel(fs, nth, ntw, sh, image_nchw.dtype,
+                              r0s, dylos, r0cs, nxs, nyxs,
+                              img, wt, dyrr, dxrr, out, win, acc, sem)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((G, ntw * TH, Cp, TW), image_nchw.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(plan["row0"], plan["dylo"], plan["r0c"], plan["nxf"], plan["nyx"],
+      img_p, wtap_r, dyr, dxr)
+    # (B, nb, ntw, TH, Cp, TW) -> NCHW in one fused transpose
+    out = (out.reshape(B, nth, ntw, TH, Cp, TW)
+           .transpose(0, 4, 1, 3, 2, 5).reshape(B, Cp, Hp, Wp))
     return out[:, :C, :H, :W]

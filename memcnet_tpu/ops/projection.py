@@ -234,6 +234,7 @@ def flow_project(flow, *, fillhole=False, fix_down_scan_bug=False):
         return tiled_flow_project(
             t.mesh, flow, halo=t.halo, fillhole=fillhole,
             axis=t.axis, batch_axis=t.batch_axis,
+            axis_h=t.axis_h, halo_h=t.halo_h,
         )
     return _global_flow_project(flow, fillhole=fillhole, fix_down_scan_bug=fix_down_scan_bug)
 

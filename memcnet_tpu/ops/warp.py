@@ -242,12 +242,23 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
     dx = ix + (1 - half) - xs
     plan = _wk.plan_band_tiles(dy, dx, valid, fs, image.dtype)
     wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
-    img_nhwc = image.transpose(0, 2, 3, 1)
 
-    def pallas_branch(_):
-        return _wk.filter_interp_warp_bands(
-            img_nhwc, wtap, plan, filter_size=fs, interpret=interpret
-        )
+    if not os.environ.get("MEMCNET_WARP_NHWC"):
+        # HCW layout: weight broadcast rides the sublane axis natively and
+        # the NCHW<->NHWC transposes disappear (~7 ms/call of per-tap weight
+        # relayout measured on v5e in the channels-on-lanes kernel).
+        ok = plan["hcw_ok"]
+
+        def pallas_branch(_):
+            return _wk.filter_interp_warp_bands_hcw(
+                image, wtap, plan, filter_size=fs, interpret=interpret)
+    else:
+        ok = plan["band_ok"]
+        img_nhwc = image.transpose(0, 2, 3, 1)
+
+        def pallas_branch(_):
+            return _wk.filter_interp_warp_bands(
+                img_nhwc, wtap, plan, filter_size=fs, interpret=interpret)
 
     def xla_branch(_):
         # Recomputes the select too, but where(valid, ...) below is idempotent.
@@ -256,7 +267,7 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
         # one row band instead of a whole-frame patch tensor.
         return _xla_forward_chunked(image, flow, filt, fs)
 
-    acc = jax.lax.cond(plan["band_ok"], pallas_branch, xla_branch, None)
+    acc = jax.lax.cond(ok, pallas_branch, xla_branch, None)
     return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
 
 
@@ -324,6 +335,7 @@ def filter_interp_warp(image, flow, filt, *, filter_size=4):
         return tiled_filter_interp_warp(
             t.mesh, image, flow, filt, filter_size=filter_size,
             halo=t.halo, axis=t.axis, batch_axis=t.batch_axis,
+            axis_h=t.axis_h, halo_h=t.halo_h,
         )
     return _global_filter_interp_warp(image, flow, filt, filter_size=filter_size)
 

@@ -34,6 +34,8 @@ class TilingContext:
     axis: str = "tile"          # mesh axis sharding the W pixel dimension
     batch_axis: str = "data"    # mesh axis sharding the batch dimension
     halo: int = 64              # columns exchanged with ring neighbors
+    axis_h: str = None          # optional mesh axis sharding the H dimension
+    halo_h: int = None          # rows exchanged (defaults to `halo`)
 
 
 _state = threading.local()
@@ -45,11 +47,13 @@ def active_tiling():
 
 
 @contextmanager
-def spatial_tiling(mesh, *, axis="tile", batch_axis="data", halo=64):
+def spatial_tiling(mesh, *, axis="tile", batch_axis="data", halo=64,
+                   axis_h=None, halo_h=None):
     """Dispatch warp/projection ops to the shard_map tiled implementations
-    while tracing under this context (SP analogue, SURVEY.md section 2.4)."""
+    while tracing under this context (SP analogue, SURVEY.md section 2.4).
+    Pass ``axis_h`` for a 2-D (tile_h, tile_w) spatial grid."""
     prev = active_tiling()
-    _state.ctx = TilingContext(mesh, axis, batch_axis, halo)
+    _state.ctx = TilingContext(mesh, axis, batch_axis, halo, axis_h, halo_h)
     try:
         yield _state.ctx
     finally:

@@ -40,6 +40,29 @@ def make_mesh(n_devices=None, *, max_tile=4, devices=None):
     )
 
 
+def make_mesh_2d(n_devices=None, *, tile_h=2, tile_w=2, devices=None):
+    """(data, tile_h, tile) mesh for 2-D spatial tiling (SURVEY.md section
+    2.4's planned (tile_h, tile_w) axes).  720p frames are wider than tall,
+    so W-only tiling caps spatial scale-out at ~4 shards; an 8-chip spatial
+    config needs H x W."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % (tile_h * tile_w) == 0, (n, tile_h, tile_w)
+    data = n // (tile_h * tile_w)
+    return jax.make_mesh(
+        (data, tile_h, tile_w), ("data", "tile_h", "tile"), devices=devices,
+        axis_types=(AxisType.Auto,) * 3,
+    )
+
+
+def frame_sharding_2d(mesh):
+    """(B, C, H, W): batch over data, height over tile_h, width over tile."""
+    return NamedSharding(mesh, P("data", None, "tile_h", "tile"))
+
+
 def frame_sharding(mesh):
     """(B, C, H, W): batch over data, width over tile."""
     return NamedSharding(mesh, P("data", None, None, "tile"))

@@ -20,62 +20,74 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 
-def _exchange_halo_w(img, axis, halo):
-    """Bring `halo` columns from each W-neighbor; edge tiles replicate their
-    own border (matching global edge-clamp semantics)."""
+def _exchange_halo(img, axis, halo, dim):
+    """Bring `halo` slices from each ring neighbor along array dim `dim`
+    (-1 = columns, -2 = rows); global-edge tiles replicate their own border
+    (matching the reference's edge clamp)."""
     t = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
-    right_band = img[..., -halo:]
-    left_band = img[..., :halo]
+    n = img.shape[dim]
+    d = img.ndim + dim if dim < 0 else dim
+    lead = jax.lax.slice_in_dim(img, 0, halo, axis=d)
+    trail = jax.lax.slice_in_dim(img, n - halo, n, axis=d)
     if t > 1:
         fwd = [(i, (i + 1) % t) for i in range(t)]
         bwd = [(i, (i - 1) % t) for i in range(t)]
-        from_left = jax.lax.ppermute(right_band, axis, fwd)   # my left neighbor's right edge
-        from_right = jax.lax.ppermute(left_band, axis, bwd)   # my right neighbor's left edge
+        from_prev = jax.lax.ppermute(trail, axis, fwd)  # prev neighbor's trailing edge
+        from_next = jax.lax.ppermute(lead, axis, bwd)   # next neighbor's leading edge
     else:
-        from_left, from_right = right_band, left_band
-    left_fill = jnp.repeat(img[..., :1], halo, axis=-1)
-    right_fill = jnp.repeat(img[..., -1:], halo, axis=-1)
-    first = (idx == 0)
-    last = (idx == t - 1)
-    from_left = jnp.where(first, left_fill, from_left)
-    from_right = jnp.where(last, right_fill, from_right)
-    return jnp.concatenate([from_left, img, from_right], axis=-1)
+        from_prev, from_next = trail, lead
+    first_fill = jnp.repeat(jax.lax.slice_in_dim(img, 0, 1, axis=d), halo, axis=d)
+    last_fill = jnp.repeat(jax.lax.slice_in_dim(img, n - 1, n, axis=d), halo, axis=d)
+    from_prev = jnp.where(idx == 0, first_fill, from_prev)
+    from_next = jnp.where(idx == t - 1, last_fill, from_next)
+    return jnp.concatenate([from_prev, img, from_next], axis=d)
 
 
-def _local_filter_interp(img, flow, filt, idx, t, halo, fs, W_global, H):
+def _exchange_halo_w(img, axis, halo):
+    return _exchange_halo(img, axis, halo, dim=-1)
+
+
+def _local_filter_interp(img, flow, filt, x_origin, y_origin, halo, halo_h,
+                         fs, W_global, H_global):
     """Per-shard warp on the halo-extended image with global-coordinate
-    validity gates (my_lib_kernel.cu:1130-1131 semantics)."""
+    validity gates (my_lib_kernel.cu:1130-1131 semantics).
+
+    halo_h == 0 means H is untiled (y_origin == 0, no vertical clamp)."""
     from memcnet_tpu.ops.warp import _gather_patches
 
-    B, C, _H, W_ext = img.shape
+    B, C, H_ext, W_ext = img.shape
     W_local = W_ext - 2 * halo
+    H_local = H_ext - 2 * halo_h
     half = fs // 2
-    x_origin = idx * W_local
 
     fx = jnp.clip(flow[:, 0], -(halo - fs), halo - fs)
     fy = flow[:, 1]
+    if halo_h:
+        fy = jnp.clip(fy, -(halo_h - fs), halo_h - fs)
     xs_g = x_origin + jnp.arange(W_local, dtype=flow.dtype)[None, None, :]
-    ys = jnp.arange(H, dtype=flow.dtype)[None, :, None]
+    ys_g = y_origin + jnp.arange(H_local, dtype=flow.dtype)[None, :, None]
     x2g = xs_g + fx
-    y2 = ys + fy
+    y2g = ys_g + fy
     valid = (
-        (x2g >= 0.0) & (y2 >= 0.0) & (x2g <= W_global - 1.0) & (y2 <= H - 1.0)
-        & (jnp.abs(fx) < W_global / 2.0) & (jnp.abs(fy) < H / 2.0)
+        (x2g >= 0.0) & (y2g >= 0.0)
+        & (x2g <= W_global - 1.0) & (y2g <= H_global - 1.0)
+        & (jnp.abs(fx) < W_global / 2.0) & (jnp.abs(fy) < H_global / 2.0)
     )
 
     # local patch coordinates on the extended image
     ixg = jnp.clip(x2g.astype(jnp.int32), 0, W_global - 1)
-    iy = jnp.clip(y2.astype(jnp.int32), 0, H - 1)
+    iyg = jnp.clip(y2g.astype(jnp.int32), 0, H_global - 1)
     alpha = x2g - ixg.astype(flow.dtype)
-    beta = y2 - iy.astype(flow.dtype)
+    beta = y2g - iyg.astype(flow.dtype)
 
     pad = fs
     img_p = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
     img_cl = img_p.transpose(0, 2, 3, 1)
-    N = H * W_local
-    iy_start = (iy + 1 - half + pad).reshape(B, N)
-    ix_local = ixg - x_origin + halo  # position within ext image
+    N = H_local * W_local
+    iy_local = iyg - y_origin + halo_h
+    iy_start = (jnp.clip(iy_local, -halo_h, H_ext - 1) + 1 - half + pad).reshape(B, N)
+    ix_local = ixg - x_origin + halo
     ix_start = (jnp.clip(ix_local, -halo, W_ext - 1) + 1 - half + pad).reshape(B, N)
     patches = jax.vmap(_gather_patches, in_axes=(0, 0, 0, None))(img_cl, iy_start, ix_start, fs)
 
@@ -85,8 +97,8 @@ def _local_filter_interp(img, flow, filt, idx, t, halo, fs, W_global, H):
     fw = filt.reshape(B, fs, fs, N).transpose(0, 3, 1, 2)
     weight = (fw * wy[:, :, :, None] * wx[:, :, None, :]).astype(patches.dtype)
     acc = jnp.einsum("bnjic,bnji->bnc", patches, weight)
-    acc = acc.transpose(0, 2, 1).reshape(B, C, H, W_local)
-    center = img[..., halo:halo + W_local]
+    acc = acc.transpose(0, 2, 1).reshape(B, C, H_local, W_local)
+    center = img[:, :, halo_h:halo_h + H_local, halo:halo + W_local]
     return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(center))
 
 
@@ -98,27 +110,73 @@ def _ppermute_shift(x, axis, shift):
     return jax.lax.ppermute(x, axis, perm)
 
 
-def tiled_flow_project(mesh, flow, *, halo=64, fillhole=False, axis="tile",
-                       batch_axis=None):
-    """W-sharded flow projection with boundary scatter-reduce halo exchange.
+def _fold_and_exchange_spill(pay, axis, t, halo, dim):
+    """Fold the global far-border '+1' contribution back (last shard), then
+    scatter-reduce the halo spill bands to the ring neighbors along `dim`.
 
-    Each shard scatters into a halo-extended local buffer (|fx| clamped to
+    pay: (B, K, He, We) extended payload (values + count stacked on K); the
+    local region occupies [halo, n - halo) along `dim`.  A pixel landing
+    exactly on the global far border scatters its +1-neighbor one slot past
+    it; the global op clamps that back onto the border (_landing_cells), so
+    the last shard folds ext slice (n - halo) onto (n - halo - 1) instead of
+    spilling it.  Edge shards take no wraparound spill."""
+    idx = jax.lax.axis_index(axis)
+    n = pay.shape[dim]
+    d = pay.ndim + dim if dim < 0 else dim
+
+    def sl(a, start, size):
+        return jax.lax.slice_in_dim(a, start, start + size, axis=d)
+
+    last = jnp.where(idx == t - 1, 1.0, 0.0)
+    fold_src = last * sl(pay, n - halo, 1)
+    pay = jax.lax.dynamic_update_slice_in_dim(
+        pay, sl(pay, n - halo - 1, 1) + fold_src, n - halo - 1, axis=d)
+
+    lead = sl(pay, 0, halo)
+    trail = sl(pay, n - halo, halo)
+    if t > 1:
+        from_prev = _ppermute_shift(trail, axis, 1)
+        from_next = _ppermute_shift(lead, axis, -1)
+    else:
+        from_prev, from_next = trail, lead
+    from_prev = jnp.where(idx == 0, 0.0, 1.0) * from_prev
+    from_next = jnp.where(idx == t - 1, 0.0, 1.0) * from_next
+    pay = jax.lax.dynamic_update_slice_in_dim(
+        pay, sl(pay, halo, halo) + from_prev, halo, axis=d)
+    pay = jax.lax.dynamic_update_slice_in_dim(
+        pay, sl(pay, n - 2 * halo, halo) + from_next, n - 2 * halo, axis=d)
+    return pay
+
+
+def tiled_flow_project(mesh, flow, *, halo=64, fillhole=False, axis="tile",
+                       batch_axis=None, axis_h=None, halo_h=None):
+    """Spatially-sharded flow projection with scatter-reduce halo exchange.
+
+    Each shard scatters into a halo-extended local buffer (flow clamped to
     the halo budget, the same contract as tiled_filter_interp_warp); the
     spilled halo bands ride ``ppermute`` to the ring neighbors and are added
-    on (the SP scatter-reduce planned in SURVEY.md section 2.4).  The
-    eval-only hole fill's horizontal scans continue across shard boundaries:
-    each shard exchanges its edge carry (nearest projected value seen from
-    its side) so a hole in one shard fills from a neighbor's projection,
-    matching the global scans up to the (documented) halo flow clamp.
+    on (the SP scatter-reduce planned in SURVEY.md section 2.4).  With
+    `axis_h`, H is sharded too: column spills are exchanged first over the
+    FULL extended rows (so corner spills ride to the W neighbor) and row
+    spills second, which routes a corner spill to the diagonal neighbor in
+    two hops.  The eval-only hole fill's scans continue across shard
+    boundaries in both directions; the reference's dead down-scan
+    (my_lib_kernel.cu:1799) is reproduced.
     """
-    from memcnet_tpu.ops.projection import _last_valid_scan, _scatter4
+    from memcnet_tpu.ops.projection import _scatter4
 
     B, two, H, W = flow.shape
     assert two == 2
     t = mesh.shape[axis]
+    th = mesh.shape[axis_h] if axis_h else 1
     assert W % t == 0, (W, t)
+    assert H % th == 0, (H, th)
     W_local = W // t
-    spec = P(batch_axis, None, None, axis)
+    H_local = H // th
+    hh = (halo_h if halo_h is not None else halo) if axis_h else 0
+    assert W_local >= 2 * halo and (not hh or H_local >= 2 * hh), \
+        (W_local, halo, H_local, hh)
+    spec = P(batch_axis, None, axis_h, axis)
 
     @partial(
         shard_map, mesh=mesh,
@@ -127,112 +185,99 @@ def tiled_flow_project(mesh, flow, *, halo=64, fillhole=False, axis="tile",
         check_vma=False,
     )
     def fn(fl):
-        idx = jax.lax.axis_index(axis)
-        x_origin = (idx * W_local).astype(fl.dtype)
+        x_origin = (jax.lax.axis_index(axis) * W_local).astype(fl.dtype)
+        y_origin = ((jax.lax.axis_index(axis_h) * H_local).astype(fl.dtype)
+                    if axis_h else jnp.zeros((), fl.dtype))
 
         fx = jnp.clip(fl[:, 0], -(halo - 1), halo - 1)
         fy = fl[:, 1]
-        # landing cells in LOCAL extended coords [0, W_local + 2*halo), with
-        # the global validity gate (my_lib_kernel.cu:1661-1663)
+        if hh:
+            fy = jnp.clip(fy, -(hh - 1), hh - 1)
+        # landing cells in LOCAL extended coords, with the global validity
+        # gate (my_lib_kernel.cu:1661-1663)
         xs_l = jnp.arange(W_local, dtype=fl.dtype)[None, None, :]
-        ys = jnp.arange(H, dtype=fl.dtype)[None, :, None]
+        ys_l = jnp.arange(H_local, dtype=fl.dtype)[None, :, None]
         x2g = x_origin + xs_l + fx
-        y2 = ys + fy
-        Wg = float(W)
-        valid = (x2g >= 0.0) & (y2 >= 0.0) & (x2g <= Wg - 1.0) & (y2 <= H - 1.0)
+        y2g = y_origin + ys_l + fy
+        valid = ((x2g >= 0.0) & (y2g >= 0.0)
+                 & (x2g <= float(W) - 1.0) & (y2g <= float(H) - 1.0))
 
-        # extended-local coordinate; int(x2l) == int(x2g) + halo - idx*W_local
-        # (halo and the origin are integers), so local landing cells align
-        # exactly with the global ones.  Invalid pixels scatter zero payload,
-        # so their (in-range, meaningless) indices are harmless — same as the
-        # global op's clip (projection._landing_cells).
+        # int(x2l) == int(x2g) + halo - x_origin (halo and origins are
+        # integers), so local landing cells align exactly with global ones.
+        # Invalid pixels scatter zero payload, so their (in-range,
+        # meaningless) indices are harmless — same as the global op's clip.
         We = W_local + 2 * halo
+        He = H_local + 2 * hh
         x2l = xs_l + fx + halo
+        y2l = ys_l + fy + hh
         ixL = jnp.clip(x2l.astype(jnp.int32), 0, We - 1)
-        iyT = jnp.clip(y2.astype(jnp.int32), 0, H - 1)
+        iyT = jnp.clip(y2l.astype(jnp.int32), 0, He - 1)
 
         vals = -jnp.stack([fx, fy], axis=1)
         out_e, cnt_e = _scatter4(
-            vals, jnp.ones_like(fx), valid, ixL, None, iyT, None, H, We
+            vals, jnp.ones_like(fx), valid, ixL, None, iyT, None, He, We
         )
-        # scatter-reduce the halo spill to ring neighbors
-        left_band = out_e[..., :halo]
-        right_band = out_e[..., -halo:]
-        lcnt = cnt_e[..., :halo]
-        rcnt = cnt_e[..., -halo:]
-        if t > 1:
-            from_left = _ppermute_shift(jnp.concatenate([right_band, rcnt[:, None]], 1), axis, 1)
-            from_right = _ppermute_shift(jnp.concatenate([left_band, lcnt[:, None]], 1), axis, -1)
-        else:
-            from_left = jnp.concatenate([right_band, rcnt[:, None]], 1)
-            from_right = jnp.concatenate([left_band, lcnt[:, None]], 1)
-        out = out_e[..., halo:halo + W_local]
-        cnt = cnt_e[..., halo:halo + W_local]
-        first = jax.lax.axis_index(axis) == 0
-        last = jax.lax.axis_index(axis) == t - 1
-        # neighbors' spill lands on my [0:halo] and [W_local-halo:] columns;
-        # edge shards get no wraparound contribution (global border clamps
-        # already folded in-shard)
-        addl = jnp.where(first, 0.0, 1.0) * from_left
-        addr = jnp.where(last, 0.0, 1.0) * from_right
-        out = out.at[..., :halo].add(addl[:, :2])
-        cnt = cnt.at[..., :halo].add(addl[:, 2])
-        out = out.at[..., W_local - halo:].add(addr[:, :2])
-        cnt = cnt.at[..., W_local - halo:].add(addr[:, 2])
-        # global right-border fold: a pixel landing exactly on x2 == W-1 has
-        # ixR clamped back onto W-1 in the global op (_landing_cells); in
-        # extended coords that contribution sits one past the border on the
-        # last shard — fold it back instead of spilling it.
-        fold = jnp.where(last, 1.0, 0.0)  # scalar
-        out = out.at[..., -1:].add(fold * out_e[:, :, :, We - halo : We - halo + 1])
-        cnt = cnt.at[..., -1:].add(fold * cnt_e[:, :, We - halo : We - halo + 1])
+        pay = jnp.concatenate([out_e, cnt_e[:, None]], axis=1)  # (B, 3, He, We)
+        pay = _fold_and_exchange_spill(pay, axis, t, halo, dim=-1)
+        if axis_h:
+            pay = _fold_and_exchange_spill(pay, axis_h, th, hh, dim=-2)
+            pay = pay[:, :, hh:hh + H_local]
+        out = pay[:, :2, :, halo:halo + W_local]
+        cnt = pay[:, 2, :, halo:halo + W_local]
 
         avg = out / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
         if fillhole:
-            avg = _tiled_fill(avg, cnt, axis, t)
+            avg = _tiled_fill(avg, cnt, axis, t, axis_h=axis_h, t_h=th)
         return avg
 
     return fn(flow)
 
 
-def _tiled_fill(avg, cnt, axis, t):
-    """Directional fill with cross-shard horizontal continuation.
+def _tiled_fill(avg, cnt, axis, t, axis_h=None, t_h=1):
+    """Directional fill with cross-shard continuation.
 
     Local scans first; then each shard's outgoing edge carry (has, val) walks
-    the ring so left/right hole searches see other shards' projections
-    (nearest shard first, wraparound masked at the global edges).  Vertical
-    scans are shard-local (H is untiled).  The reference's dead down-scan
-    (my_lib_kernel.cu:1799) is reproduced.
+    the ring so hole searches see other shards' projections (nearest shard
+    first, wraparound masked at the global edges).  Horizontal scans chain
+    over `axis`; the up-scan chains over `axis_h` when H is sharded (else it
+    is shard-local).  The reference's dead down-scan (my_lib_kernel.cu:1799)
+    is reproduced.
     """
     from memcnet_tpu.ops.projection import _last_valid_scan
 
     has = jnp.broadcast_to((cnt > 0.0)[:, None], avg.shape)
-    idx = jax.lax.axis_index(axis)
 
-    def chained_scan(reverse):
-        h_loc, v_loc = _last_valid_scan(has, avg, axis=3, reverse=reverse)
-        edge = 0 if reverse else -1
+    def chained_scan(scan_axis, reverse, shard_axis, nsh):
+        h_loc, v_loc = _last_valid_scan(has, avg, axis=scan_axis, reverse=reverse)
+        idx = jax.lax.axis_index(shard_axis)
+        n = avg.shape[scan_axis]
+        edge = 0 if reverse else n - 1
         step = -1 if reverse else 1
-        msg_h = h_loc[..., edge]  # (B, 2, H): my exported edge carry
-        msg_v = v_loc[..., edge]
+        msg_h = jax.lax.index_in_dim(h_loc, edge, axis=scan_axis, keepdims=False)
+        msg_v = jax.lax.index_in_dim(v_loc, edge, axis=scan_axis, keepdims=False)
         ch = jnp.zeros_like(msg_h)
         cv = jnp.zeros_like(msg_v)
-        for k in range(1, t):
-            msg_h = _ppermute_shift(msg_h, axis, step)
-            msg_v = _ppermute_shift(msg_v, axis, step)
+        for k in range(1, nsh):
+            msg_h = _ppermute_shift(msg_h, shard_axis, step)
+            msg_v = _ppermute_shift(msg_v, shard_axis, step)
             # after k hops the message originated at shard idx - k*step;
             # it wrapped the global edge unless that origin is in range
-            ok = (idx >= k) if step > 0 else (idx <= t - 1 - k)
+            ok = (idx >= k) if step > 0 else (idx <= nsh - 1 - k)
             fresh = msg_h & ok
             take = fresh & ~ch  # nearest shard wins (hop order = distance)
             cv = jnp.where(take, msg_v, cv)
             ch = ch | fresh
-        v = jnp.where(h_loc, v_loc, cv[..., None])
-        h = h_loc | ch[..., None]
+        v = jnp.where(h_loc, v_loc, jnp.expand_dims(cv, scan_axis))
+        h = h_loc | jnp.expand_dims(ch, scan_axis)
         return h, v
 
-    dirs = [chained_scan(False), chained_scan(True),
-            _last_valid_scan(has, avg, axis=2)]  # left, right, up (down: dead)
+    dirs = [chained_scan(3, False, axis, t),   # left search
+            chained_scan(3, True, axis, t)]    # right search
+    if axis_h:
+        dirs.append(chained_scan(2, False, axis_h, t_h))  # up search
+    else:
+        dirs.append(_last_valid_scan(has, avg, axis=2))
+    # down: dead (reference bug reproduced)
     num = jnp.zeros_like(avg)
     den = jnp.zeros_like(avg)
     for exists, val in dirs:
@@ -245,17 +290,25 @@ def _tiled_fill(avg, cnt, axis, t):
 
 
 def tiled_filter_interp_warp(mesh, image, flow, filt, *, filter_size=4, halo=64,
-                             axis="tile", batch_axis=None):
-    """W-sharded adaptive warp with ring halo exchange.
+                             axis="tile", batch_axis=None,
+                             axis_h=None, halo_h=None):
+    """Spatially-sharded adaptive warp with ring halo exchange.
 
-    image/flow/filt: global arrays (B, C, H, W); returns the global warp,
-    computed shard-locally after exchanging `halo` boundary columns.
+    W is sharded over mesh axis `axis`; pass `axis_h` to additionally shard
+    H over a second mesh axis (the (tile_h, tile_w) grid of SURVEY.md
+    section 2.4) — rows exchange `halo_h` boundary bands the same way
+    columns exchange `halo`, and vertical flow is then clamped to the
+    vertical halo budget.  image/flow/filt: global arrays (B, C, H, W);
+    returns the global warp computed shard-locally.
     """
     B, C, H, W = image.shape
     t = mesh.shape[axis]
+    th = mesh.shape[axis_h] if axis_h else 1
     assert W % t == 0, (W, t)
+    assert H % th == 0, (H, th)
     fs = filter_size
-    spec = P(batch_axis, None, None, axis)
+    hh = (halo_h if halo_h is not None else halo) if axis_h else 0
+    spec = P(batch_axis, None, axis_h, axis)
 
     @partial(
         shard_map, mesh=mesh,
@@ -264,8 +317,15 @@ def tiled_filter_interp_warp(mesh, image, flow, filt, *, filter_size=4, halo=64,
         check_vma=False,
     )
     def fn(img, fl, ft):
-        idx = jax.lax.axis_index(axis)
-        ext = _exchange_halo_w(img, axis, halo)
-        return _local_filter_interp(ext, fl, ft, idx, t, halo, fs, W, H)
+        x_origin = jax.lax.axis_index(axis) * (W // t)
+        ext = _exchange_halo(img, axis, halo, dim=-1)
+        if axis_h:
+            y_origin = jax.lax.axis_index(axis_h) * (H // th)
+            # rows second: the W-extended array's corner halos ride along
+            ext = _exchange_halo(ext, axis_h, hh, dim=-2)
+        else:
+            y_origin = 0
+        return _local_filter_interp(ext, fl, ft, x_origin, y_origin,
+                                    halo, hh, fs, W, H)
 
     return fn(image, flow, filt)

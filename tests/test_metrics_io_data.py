@@ -148,3 +148,62 @@ class TestYUV:
         _, ok = rdr.read(5)
         assert not ok
         rdr.close()
+
+
+class TestT7Import:
+    """SPyNet .t7 weight path (VERDICT r3 #10): minimal Torch7 tensor reader
+    round-tripped against our writer, and the per-conv file schema of
+    networks/SPyNet/Network.py:101-108 mapped onto the flat params."""
+
+    def test_round_trip_tensor(self, tmp_path, rng):
+        from memcnet_tpu.io import load_t7_tensor, save_t7_tensor
+
+        for shape in [(32, 8, 7, 7), (32,), (2, 3)]:
+            a = rng.randn(*shape).astype(np.float32)
+            p = str(tmp_path / "t.t7")
+            save_t7_tensor(p, a)
+            b = load_t7_tensor(p)
+            assert b.dtype == np.float32
+            np.testing.assert_array_equal(a, b)
+
+    def test_import_spynet_weights(self, tmp_path, rng):
+        import jax.random as jr
+
+        from memcnet_tpu.io import import_spynet_t7, save_t7_tensor
+        from memcnet_tpu.models import spynet
+
+        params = spynet.init_params(jr.PRNGKey(0))
+        # synthesize the reference's file schema for levels 1..5 only —
+        # level 6 must fall back to level 5's files (Network.py:95-98)
+        chans = [8, 32, 64, 32, 16, 2]
+        want = {}
+        for lvl in range(5):
+            for conv in range(5):
+                w = rng.randn(chans[conv + 1], chans[conv], 7, 7).astype(np.float32)
+                b = rng.randn(chans[conv + 1]).astype(np.float32)
+                stem = tmp_path / f"modelL{lvl + 1}_4-{conv + 1}"
+                save_t7_tensor(str(stem) + "-weight.t7", w)
+                save_t7_tensor(str(stem) + "-bias.t7", b)
+                want[(lvl, conv)] = (w, b)
+        p2, report = import_spynet_t7(params, str(tmp_path), model="4")
+        assert not report["missing"], report["missing"]
+        assert len(report["loaded"]) == 6 * 5 * 2
+        for lvl in range(6):
+            src = 4 if lvl == 5 else lvl
+            for conv in range(5):
+                k = f"flownets.moduleBasic.{lvl}.moduleBasic.{2 * conv}"
+                np.testing.assert_array_equal(np.asarray(p2[k + ".weight"]), want[(src, conv)][0])
+                np.testing.assert_array_equal(np.asarray(p2[k + ".bias"]), want[(src, conv)][1])
+
+    def test_shape_mismatch_raises(self, tmp_path, rng):
+        import jax.random as jr
+        import pytest as _pytest
+
+        from memcnet_tpu.io import import_spynet_t7, save_t7_tensor
+        from memcnet_tpu.models import spynet
+
+        params = spynet.init_params(jr.PRNGKey(0))
+        save_t7_tensor(str(tmp_path / "modelL1_4-1-weight.t7"),
+                       rng.randn(3, 3).astype(np.float32))
+        with _pytest.raises(ValueError, match="shape"):
+            import_spynet_t7(params, str(tmp_path), model="4")

@@ -108,3 +108,78 @@ class TestTiledFlowProject:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
         # sanity: the hole region is actually filled with the neighbors' value
         assert np.all(np.isfinite(got))
+
+
+class TestTiled2D:
+    """(tile_h, tile_w) 2-D spatial grid (VERDICT r3 #6 / SURVEY section 2.4
+    planned axes): halo exchange both axes, projection spill in 2-D with
+    corner routing, fill scans carried both ways."""
+
+    def _mesh(self):
+        from memcnet_tpu.parallel.mesh import make_mesh_2d
+
+        return make_mesh_2d(8, tile_h=2, tile_w=2)  # data=2, tile_h=2, tile=2
+
+    def test_mesh_factory(self):
+        mesh = self._mesh()
+        assert dict(mesh.shape) == {"data": 2, "tile_h": 2, "tile": 2}
+
+    @pytest.mark.parametrize("halo", [16, 32])
+    def test_warp_matches_global(self, rng, halo):
+        mesh = self._mesh()
+        B, C, H, W = 2, 3, 64, 128
+        image = rng.rand(B, C, H, W).astype(np.float32)
+        flow = (rng.rand(B, 2, H, W).astype(np.float32) - 0.5) * 2 * (halo - 6)
+        filt = rng.rand(B, 16, H, W).astype(np.float32)
+        want = np.asarray(filter_interp_warp(image, flow, filt))
+        got = np.asarray(tiled_filter_interp_warp(
+            mesh, image, flow, filt, halo=halo, axis_h="tile_h",
+            batch_axis="data"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("fillhole", [False, True])
+    def test_project_matches_global(self, rng, fillhole):
+        from memcnet_tpu.ops import flow_project
+        from memcnet_tpu.parallel.tiling import tiled_flow_project
+
+        mesh = self._mesh()
+        B, H, W = 2, 64, 128
+        flow = (rng.rand(B, 2, H, W).astype(np.float32) - 0.5) * 20.0
+        want = np.asarray(flow_project(flow, fillhole=fillhole))
+        got = np.asarray(tiled_flow_project(
+            mesh, flow, halo=16, fillhole=fillhole, axis_h="tile_h",
+            batch_axis="data"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_project_cross_shard_vertical_fill(self, rng):
+        """A hole in the bottom H shard must fill from a projection that
+        lives only in the top H shard (up-scan carried across tile_h)."""
+        from memcnet_tpu.ops import flow_project
+        from memcnet_tpu.parallel.tiling import tiled_flow_project
+
+        mesh = self._mesh()
+        B, H, W = 2, 64, 128
+        # all flows land in the top-left corner region -> most cells are
+        # holes; vertical fill must cross the H shard boundary
+        flow = np.zeros((B, 2, H, W), np.float32)
+        flow[:, 0] = -np.arange(W)[None, None, :] % 7
+        flow[:, 1] = -np.arange(H)[None, :, None] + 5.0
+        flow[:, 1] = np.clip(flow[:, 1], -14.0, 14.0)
+        want = np.asarray(flow_project(flow, fillhole=True))
+        got = np.asarray(tiled_flow_project(
+            mesh, flow, halo=16, fillhole=True, axis_h="tile_h",
+            batch_axis="data"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_spatial_tiling_context_2d(self, rng):
+        """The op-level dispatch honors axis_h under the context."""
+        from memcnet_tpu.parallel.context import spatial_tiling
+        from memcnet_tpu.ops import flow_project
+
+        mesh = self._mesh()
+        B, H, W = 2, 64, 128
+        flow = (rng.rand(B, 2, H, W).astype(np.float32) - 0.5) * 10.0
+        want = np.asarray(flow_project(flow, fillhole=True))
+        with spatial_tiling(mesh, halo=16, axis_h="tile_h"):
+            got = np.asarray(flow_project(flow, fillhole=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
