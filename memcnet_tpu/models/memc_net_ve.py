@@ -105,8 +105,10 @@ class MEMCNetVE:
 
         flows6 = [nb(flow, k) for k in range(6)]
         filts6 = [nb(filt, k) for k in range(6)]
-        rin = jnp.concatenate(ctxs + flows6 + filts6 + outs, axis=1)  # :241-256
-        rectified = center + edsr.forward(params, rin, n_resblocks=10)  # :260
+        # :241-256 channel order; the 577-ch concat is never materialized —
+        # the EDSR head conv runs per piece (edsr.forward_pieces)
+        rectified = center + edsr.forward_pieces(
+            params, ctxs + flows6 + filts6 + outs, n_resblocks=10)  # :260
 
         if training:
             return outs, rectified

@@ -182,7 +182,41 @@ def _directional_fill(avg_flow, count, fix_down_scan_bug):
     """Masked directional 'nearest projected value' fill for count==0 holes.
 
     The reference's per-pixel while-loop searches (my_lib_kernel.cu:1780-1802)
-    become four masked associative scans carrying (seen_valid, value)."""
+    become four masked associative scans carrying (seen_valid, value).  On
+    TPU the default (dead down-scan) case runs the Pallas fill kernel
+    (ops/pallas/fill_kernel.py) — the XLA associative scans lower to ~200
+    slice/pad rounds costing ~7 ms at 720p; gradients (never taken in
+    practice: fillhole is eval-only) route through the XLA formulation."""
+    if not fix_down_scan_bug and avg_flow.shape[1] == 2 and _scatter_use_pallas(
+            avg_flow.shape[2], avg_flow.shape[3], avg_flow.shape[2], avg_flow.shape[3]):
+        return _fast_fill(_FORCE_INTERPRET)(avg_flow, count)
+    return _directional_fill_xla(avg_flow, count, fix_down_scan_bug)
+
+
+def _fast_fill(interpret=False, _cache={}):
+    if interpret not in _cache:
+        import jax as _jax
+
+        @_jax.custom_vjp
+        def op(avg, cnt):
+            from memcnet_tpu.ops.pallas.fill_kernel import fill_holes
+
+            return fill_holes(avg, cnt, interpret=interpret)
+
+        def fwd(avg, cnt):
+            return _directional_fill_xla(avg, cnt, False), (avg, cnt)
+
+        def bwd(res, g):
+            _, vjp = _jax.vjp(
+                lambda a, c: _directional_fill_xla(a, c, False), *res)
+            return vjp(g)
+
+        op.defvjp(fwd, bwd)
+        _cache[interpret] = op
+    return _cache[interpret]
+
+
+def _directional_fill_xla(avg_flow, count, fix_down_scan_bug):
     has = jnp.broadcast_to((count > 0.0)[:, None], avg_flow.shape)
 
     dirs = [
