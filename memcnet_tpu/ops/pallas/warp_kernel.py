@@ -505,7 +505,11 @@ def _warp_band_hcw_kernel(fs, nb, ntw, SH, out_dtype,
 
             jax.lax.fori_loop(0, nyx, bucket, 0)
 
-        out_ref[0, pl.ds(t * TH, TH), :, :] = acc_ref[:].astype(out_dtype)
+        # write only the real channels (Co = ceil8(C) <= Cp): the padded
+        # lanes' zeros are never consumed and the trim nearly halves the
+        # output HBM traffic + the XLA-side channel slice at C=67
+        Co = out_ref.shape[2]
+        out_ref[0, pl.ds(t * TH, TH), :, :] = acc_ref[:, :Co].astype(out_dtype)
         return 0
 
     jax.lax.fori_loop(0, ntw, tile, 0)
@@ -673,6 +677,7 @@ def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
     nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
     sh, pt, HP = plan["sh"], plan["pt"], plan["HP"]
     Cp = _ceil_to(C, 128)
+    Co = _ceil_to(C, 8)  # output channel trim (sublane-aligned)
     PL = 2 * TW
     WSP = _ceil_to(Wp + 3 * TW, TW)  # lane window of the last tile must fit
     # C zero-pad first, then spatial edge pad (edge rows/cols of the zero
@@ -709,7 +714,7 @@ def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
             pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ntw * TH, Cp, TW),
+        out_specs=pl.BlockSpec((1, ntw * TH, Co, TW),
                                lambda g, *_r: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -727,13 +732,13 @@ def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
 
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((G, ntw * TH, Cp, TW), image_nchw.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, ntw * TH, Co, TW), image_nchw.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(plan["row0"], plan["dylo"], plan["r0c"], plan["nxf"], plan["nyx"],
       img_p, wtap_r, dyr, dxr)
-    # (B, nb, ntw, TH, Cp, TW) -> NCHW in one fused transpose
-    out = (out.reshape(B, nth, ntw, TH, Cp, TW)
-           .transpose(0, 4, 1, 3, 2, 5).reshape(B, Cp, Hp, Wp))
+    # (B, nb, ntw, TH, Co, TW) -> NCHW in one fused transpose
+    out = (out.reshape(B, nth, ntw, TH, Co, TW)
+           .transpose(0, 4, 1, 3, 2, 5).reshape(B, Co, Hp, Wp))
     return out[:, :C, :H, :W]
