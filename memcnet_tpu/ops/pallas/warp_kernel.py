@@ -465,17 +465,32 @@ def _warp_band_hcw_kernel(fs, nb, ntw, SH, out_dtype,
             return wtap_ref[0, pl.ds((k * ntw + t) * TH, TH), :]  # (TH, TW)
 
         def rolled_slabs(dyk, dxk):
+            # x-alignment as fs one-hot shift MATMULS on the (otherwise idle)
+            # MXU instead of f32 lane rolls on the VPU: S_i = rows @ M_i with
+            # M_i[v, w] = (v == w + r + i) selects lane w from window lane
+            # w + r + i — exact (one-hot bf16 matmul accumulates a single
+            # product per output, in f32), overlaps with the VPU tap FMAs,
+            # and skips the explicit f32 window expansion the 32-bit-only
+            # roll needed.  2x on the smooth-flow call (v5e ablation).
             rows = win_ref[slot, pl.ds(dylo_f[base] + dyk, TH + fs - 1), :,
-                           pl.ds(ls, LW)].astype(jnp.float32)
+                           pl.ds(ls, LW)]  # (TH+fs-1, Cp, LW) source dtype
             r0 = r0c_f[base] + dxk
-            return [pltpu.roll(rows, LW - (r0 + i), axis=2) for i in range(fs)]
+            v = jax.lax.broadcasted_iota(jnp.int32, (LW, TW), 0)
+            w_ = jax.lax.broadcasted_iota(jnp.int32, (LW, TW), 1)
+            return [
+                jax.lax.dot_general(
+                    rows, (v == w_ + (r0 + i)).astype(rows.dtype),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (TH+fs-1, Cp, TW)
+                for i in range(fs)
+            ]
 
         def fma(slabs, wsel):
             a = jnp.zeros_like(acc_ref)  # (TH, Cp, TW)
             for j in range(fs):
                 for i in range(fs):
                     w = wsel(j * fs + i)            # (TH, TW), lanes = TW
-                    tap = slabs[i][j:j + TH, :, :TW]
+                    tap = slabs[i][j:j + TH]  # (TH, Cp, TW), already TW lanes
                     a = a + w[:, None, :] * tap     # broadcast over sublanes
             acc_ref[:] = acc_ref[:] + a
 
