@@ -1,8 +1,14 @@
-"""Pallas TPU kernel for filter-interpolation warping (the system's hot op).
+"""Pallas TPU kernels for filter-interpolation warping (the system's hot op).
 
 Reference semantics: my_package/src/my_lib_kernel.cu:1087-1218 (forward).
-This kernel replaces the XLA patch-gather formulation of
-``memcnet_tpu.ops.warp.filter_interp_warp`` on the inference path.
+
+Three generations live here, newest last; the INFERENCE PATH is the HCW
+band kernel (`filter_interp_warp_bands_hcw` — W on vector lanes, channels
+on sublanes, one contiguous full-width window DMA per 8-row band, x-shifts
+as one-hot matmuls on the MXU).  The per-tile window kernel
+(`filter_interp_warp_tiles`) and the NHWC band kernel
+(`filter_interp_warp_bands`) are kept for A/B runs and as the measured
+record of why the layout ended up where it did (PERF.md r2-r4).
 
 Why a kernel at all: the XLA formulation is bound by the TPU gather engine
 (~50 ns per patch descriptor and ~50-90 GB/s effective — PERF.md), because it

@@ -28,11 +28,12 @@ Reference semantics ported from (file:line under /root/reference):
 Array layout is NCHW throughout to match the model stack's parameter layout.
 
 Fast path: on TPU backends, ``filter_interp_warp`` dispatches to the Pallas
-window kernel in ``memcnet_tpu.ops.pallas.warp_kernel`` (exact; falls back to
-the XLA formulation per-frame when a tile's flow spread exceeds the kernel's
-window budget).  Training gradients always flow through the XLA formulation
-(custom_vjp below), so backward semantics are unchanged.  Set
-``MEMCNET_NO_PALLAS=1`` to disable the kernel for bisecting.
+HCW band kernel in ``memcnet_tpu.ops.pallas.warp_kernel`` (exact; falls back
+to the XLA formulation per-frame when a band's vertical flow spread or a
+tile's bucket count exceeds the kernel budgets).  Training gradients always
+flow through the XLA formulation (custom_vjp below), so backward semantics
+are unchanged.  Set ``MEMCNET_NO_PALLAS=1`` to disable the kernel for
+bisecting, ``MEMCNET_WARP_NHWC=1`` to A/B the older NHWC band kernel.
 """
 
 import os
