@@ -50,9 +50,12 @@ def init_params(key, prefix="flownets", dtype=jnp.float32):
     return p
 
 
-def forward(params, x, prefix="flownets"):
+def forward(params, x, prefix="flownets", training=False):
     """x: (B, 6, H, W) stacked frame pair; H, W divisible by 64. Returns
-    (B, 2, H/4, W/4) flow2 (FlowNetS.py:80-111)."""
+    (B, 2, H/4, W/4) flow2 (FlowNetS.py:80-111); with ``training=True`` the
+    full multi-scale tuple (flow2, flow3, flow4, flow5, flow6) as the
+    reference's train-mode forward does (FlowNetS.py:106-117, used for
+    multi-scale EPE supervision when training FlowNetS itself)."""
 
     def enc(name, h, k, s):
         w = params[f"{prefix}.{name}.0.weight"]
@@ -106,4 +109,6 @@ def forward(params, x, prefix="flownets"):
 
     concat2 = jnp.concatenate((out_conv2, out_deconv2, flow3_up), axis=1)
     flow2 = predict("predict_flow2", concat2)
+    if training:
+        return flow2, flow3, flow4, flow5, flow6  # FlowNetS.py:106-112
     return flow2

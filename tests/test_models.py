@@ -41,6 +41,19 @@ class TestSubnetParity:
         assert got.shape == want.shape == (1, 2, 16, 16)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
+    def test_flownets_train_mode_multiscale(self, rng):
+        """Train mode returns (flow2..flow6) like the reference
+        (FlowNetS.py:106-117); flow2 is bit-identical to the eval output."""
+        params = flownets.init_params(jr.PRNGKey(0))
+        x = rng.rand(1, 6, 64, 128).astype(np.float32)
+        flows = flownets.forward(params, x, training=True)
+        assert len(flows) == 5
+        for i, f in enumerate(flows):
+            s = 4 * (2 ** i)
+            assert f.shape == (1, 2, 64 // s, 128 // s), (i, f.shape)
+        f2 = flownets.forward(params, x)
+        np.testing.assert_array_equal(np.asarray(flows[0]), np.asarray(f2))
+
     def test_edsr(self, rng):
         params = edsr.init_params(jr.PRNGKey(1), n_colors=8, n_resblocks=3, n_feats=16)
         tm = load_torch(TR.TorchEDSR(8, 3, 16), params, "rectifyNet")
