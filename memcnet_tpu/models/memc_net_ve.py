@@ -87,15 +87,15 @@ class MEMCNetVE:
         def nb(x, k):  # neighbor k of the sample-major (B, 6, ...) layout
             return x.reshape((B, 6) + x.shape[1:])[:, k]
 
+        # ONE 6B-batched warp: the Pallas band kernel's grid scales linearly
+        # with batch (unlike the old XLA gather, whose per-descriptor cost
+        # rose with a batch dim — the r3 measurement that kept these split)
+        m_all = filter_interp_warp(
+            jnp.concatenate((neigh, ctx_n), 1), flow, filt, filter_size=fs)
         warped = []
         ctx_warped = []
         for k in range(6):
-            m = filter_interp_warp(
-                jnp.concatenate((nb(neigh, k), nb(ctx_n, k)), 1),
-                nb(flow, k),
-                nb(filt, k),
-                filter_size=fs,
-            )
+            m = nb(m_all, k)
             warped.append(m[:, :3])
             ctx_warped.append(jax.lax.stop_gradient(m[:, 3:]))  # :474
 
