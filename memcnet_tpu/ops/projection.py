@@ -284,23 +284,82 @@ def _global_flow_project(flow, *, fillhole=False, fix_down_scan_bug=False):
     return avg
 
 
-@partial(jax.jit, static_argnames=("fillhole",))
-def depth_flow_project(flow, depth, *, fillhole=False):
-    """Depth-weighted flow projection (DAIN-style).
+def _gather_neighbors(planes, iy, ix, W):
+    """Gather `planes` (B,P,H,W) at per-pixel integer cells (iy, ix)."""
+    B, P = planes.shape[:2]
+    lin = (iy * W + ix).reshape(B, 1, -1)
+    g = jnp.take_along_axis(
+        planes.reshape(B, P, -1), lin, axis=2, mode="promise_in_bounds")
+    return g.reshape(planes.shape)
 
-    Reference: DepthFlowProjectionLayer, my_lib_kernel.cu:2053-2516.  Each
-    source pixel scatters depth(p) * -f(p) and depth(p) into the 4 landing
-    neighbors; the average is the depth-weighted mean of -f.  No Python call
-    site ships in the reference (exported capability only, SURVEY.md N7).
 
-    Args:
-      flow: (B,2,H,W);  depth: (B,1,H,W) positive weights.
-    """
+def _depth_project_core(flow, depth):
     B, _, H, W = flow.shape
     valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
     d = depth[:, 0]
     out, cnt = _scatter4(-flow * depth, d, valid, ixL, ixR, iyT, iyB, H, W)
     avg = out / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
+    return avg, cnt
+
+
+@jax.custom_vjp
+def _depth_project(flow, depth):
+    return _depth_project_core(flow, depth)
+
+
+def _depth_project_fwd(flow, depth):
+    avg, cnt = _depth_project_core(flow, depth)
+    return (avg, cnt), (flow, depth, avg, cnt)
+
+
+def _depth_project_bwd(res, cot):
+    """The reference's hand-derived backward (my_lib.c:1751-1877, CUDA
+    :2270-2380), which is NOT the true gradient of the forward: the depth
+    gradient uses (f(p) - avg[n]) where autodiff of avg = -sum(d*f)/sum(d)
+    would give (f(p) + avg[n]).  Replicated exactly for training parity.
+    count==0 divisions (possible only where depth == 0 everywhere that lands
+    on a cell) are guarded to 0 instead of the reference's inf."""
+    flow, depth, avg, cnt = res
+    g, _ = cot  # no gradient flows through the count output
+    B, _, H, W = flow.shape
+    valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
+    gdivc = g / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
+    planes = jnp.concatenate([gdivc, avg], axis=1)  # (B,4,H,W)
+    gflow = jnp.zeros_like(flow)
+    gdepth = jnp.zeros_like(depth[:, 0])
+    for iy, ix in ((iyT, ixL), (iyT, ixR), (iyB, ixL), (iyB, ixR)):
+        got = _gather_neighbors(planes, iy, ix, W)
+        gc, av = got[:, :2], got[:, 2:]
+        gflow = gflow - gc * depth
+        gdepth = gdepth - jnp.sum(gc * (flow - av), axis=1)
+    m = valid
+    return (jnp.where(m[:, None], gflow, 0.0),
+            jnp.where(m[:, None], gdepth[:, None], 0.0))
+
+
+_depth_project.defvjp(_depth_project_fwd, _depth_project_bwd)
+
+
+@partial(jax.jit, static_argnames=("fillhole",))
+def depth_flow_project(flow, depth, *, fillhole=False):
+    """Depth-weighted flow projection (DAIN-style).
+
+    Reference: DepthFlowProjectionLayer, my_lib.c:1637-1751 (CUDA
+    my_lib_kernel.cu:2053-2516).  Each source pixel scatters depth(p) * -f(p)
+    and depth(p) into the 4 landing neighbors; the average is the
+    depth-weighted mean of -f.  Backward replicates the reference's
+    hand-derived gradient (see _depth_project_bwd).  Fillhole uses the shared
+    directional fill with the reference's dead down-scan (the N7 CUDA fill has
+    the same assignment-instead-of-compare bug at my_lib_kernel.cu:2227).
+    No Python call site ships in the reference (exported capability only,
+    SURVEY.md N7).
+
+    Args:
+      flow: (B,2,H,W);  depth: (B,1,H,W) positive weights.
+    Returns:
+      projected flow (B,2,H,W).
+    """
+    avg, cnt = _depth_project(flow, depth)
     if fillhole:
         avg = _directional_fill(avg, cnt, False)
     return avg
@@ -310,25 +369,42 @@ def depth_flow_project(flow, depth, *, fillhole=False):
 def weighted_flow_project(flow, frame1, frame2, *, threshold=20.0 / 255.0, fillhole=False):
     """Brightness-constancy-gated flow projection.
 
-    Reference: WeightedFlowProjectionLayer, my_lib_kernel.cu:2518-3024
-    (gate :2560-2620).  The photometric error between frame1(p) and
-    frame2(p + 2f) (bilinear) gates which flows scatter: only pixels with
-    error <= threshold contribute, and the (1 - err/threshold) weight plane is
-    both the scatter weight and the averaging denominator.
+    Reference: WeightedFlowProjectionLayer, my_lib.c:1879-2030 (CUDA
+    my_lib_kernel.cu:2518-3024).  Per source pixel p with in-range landing
+    point p+f: sample frame2 at the NEAREST pixel of p+2f (int cast of the
+    [0, W-1]-clamped coordinate, my_lib.c:1959-1960), photometric error
+    err = mean_c |frame1(p,c) - frame2(nn,c)| + 1e-8; only pixels with
+    err <= threshold scatter.  Gated pixels scatter plain -f with a +1 count
+    AND the raw err into a separate weight plane; output and weight plane are
+    both divided by the count (my_lib.c:2005-2016).  Backward (autodiff here)
+    = -sum_n g[n]/count[n] over gated pixels = the reference's hand backward
+    (my_lib.c:2030-2160).  Fillhole (GPU-only in the reference, with the dead
+    down-scan bug at my_lib_kernel.cu:2732) fills the flow output's holes.
     Exported capability only in the reference (SURVEY.md N8).
-    """
-    from memcnet_tpu.ops.warp import bilinear_warp
 
+    Args:
+      flow: (B,2,H,W); frame1, frame2: (B,3,H,W).
+    Returns:
+      (projected flow (B,2,H,W), weight plane (B,1,H,W)).
+    """
     B, _, H, W = flow.shape
-    warped2 = bilinear_warp(frame2, 2.0 * flow)
-    err = jnp.mean(jnp.abs(frame1 - warped2), axis=1)  # (B,H,W)
-    ok = err <= threshold
-    weight = jnp.where(ok, (1.0 - err / threshold) ** 2 + 1e-8, 0.0)
+    dt = flow.dtype
+    xs = jnp.arange(W, dtype=dt)[None, None, :]
+    ys = jnp.arange(H, dtype=dt)[None, :, None]
+    x3 = jnp.clip(xs + 2.0 * flow[:, 0], 0.0, W - 1.0).astype(jnp.int32)
+    y3 = jnp.clip(ys + 2.0 * flow[:, 1], 0.0, H - 1.0).astype(jnp.int32)
+    samp = _gather_neighbors(frame2, y3, x3, W)
+    diff = jnp.abs(frame1 - samp)
+    # accumulate |d|/3 per channel in the reference's order (my_lib.c:1965-1971)
+    err = diff[:, 0] / 3.0 + diff[:, 1] / 3.0 + diff[:, 2] / 3.0 + 1e-8
 
     valid, ixL, ixR, iyT, iyB = _landing_cells(flow)
-    valid = valid & ok
-    out, cnt = _scatter4(-flow * weight[:, None], weight, valid, ixL, ixR, iyT, iyB, H, W)
-    avg = out / jnp.where(cnt > 0.0, cnt, 1.0)[:, None]
+    gate = valid & (err <= threshold)
+    payload = jnp.concatenate([-flow, err[:, None]], axis=1)
+    out, cnt = _scatter4(payload, jnp.ones_like(err), gate, ixL, ixR, iyT, iyB, H, W)
+    den = jnp.where(cnt > 0.0, cnt, 1.0)
+    avg = out[:, :2] / den[:, None]
+    wavg = out[:, 2:] / den[:, None]
     if fillhole:
         avg = _directional_fill(avg, cnt, False)
-    return avg
+    return avg, wavg

@@ -160,6 +160,79 @@ def flow_project_oracle(flow, fillhole=False, fix_down_scan_bug=False):
     return out
 
 
+def depth_flow_project_oracle(flow, depth):
+    """my_lib.c:1637-1751 (DepthFlowProjectionLayer forward, no fillhole on
+    the CPU path) -> (out, count)."""
+    B, _, H, W = flow.shape
+    out = np.zeros_like(flow)
+    cnt = np.zeros((B, H, W), flow.dtype)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                fx = flow[b, 0, h, w]
+                fy = flow[b, 1, h, w]
+                x2 = w + fx
+                y2 = h + fy
+                if 0 <= x2 <= W - 1 and 0 <= y2 <= H - 1:
+                    ixL = int(x2)
+                    iyT = int(y2)
+                    ixR = min(ixL + 1, W - 1)
+                    iyB = min(iyT + 1, H - 1)
+                    d = depth[b, 0, h, w]
+                    for iy in (iyT, iyB):
+                        for ix in (ixL, ixR):
+                            out[b, 0, iy, ix] += -d * fx
+                            out[b, 1, iy, ix] += -d * fy
+                            cnt[b, iy, ix] += d
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                if cnt[b, h, w] > 0:
+                    out[b, :, h, w] /= cnt[b, h, w]
+    return out, cnt
+
+
+def weighted_flow_project_oracle(flow, frame1, frame2, threshold):
+    """my_lib.c:1879-2030 (WeightedFlowProjectionLayer forward, no fillhole
+    on the CPU path) -> (out, weight, count)."""
+    B, _, H, W = flow.shape
+    out = np.zeros_like(flow)
+    wgt = np.zeros((B, H, W), flow.dtype)
+    cnt = np.zeros((B, H, W), flow.dtype)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                fx = flow[b, 0, h, w]
+                fy = flow[b, 1, h, w]
+                x2 = w + fx
+                y2 = h + fy
+                if 0 <= x2 <= W - 1 and 0 <= y2 <= H - 1:
+                    x3 = int(max(min(w + 2.0 * fx, W - 1.0), 0.0))
+                    y3 = int(max(min(h + 2.0 * fy, H - 1.0), 0.0))
+                    err = 0.0
+                    for c in range(3):
+                        err += abs(frame1[b, c, h, w] - frame2[b, c, y3, x3]) / 3.0
+                    err += 1e-8
+                    if err <= threshold:
+                        ixL = int(x2)
+                        iyT = int(y2)
+                        ixR = min(ixL + 1, W - 1)
+                        iyB = min(iyT + 1, H - 1)
+                        for iy in (iyT, iyB):
+                            for ix in (ixL, ixR):
+                                out[b, 0, iy, ix] += -fx
+                                out[b, 1, iy, ix] += -fy
+                                wgt[b, iy, ix] += err
+                                cnt[b, iy, ix] += 1.0
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                if cnt[b, h, w] > 0:
+                    out[b, :, h, w] /= cnt[b, h, w]
+                    wgt[b, h, w] /= cnt[b, h, w]
+    return out, wgt, cnt
+
+
 def separable_conv_oracle(image, vert, horiz):
     """my_lib_kernel.cu:285-337 (SeparableConvLayer forward)."""
     B, C, H, W = image.shape

@@ -98,6 +98,96 @@ def flow_project_forward(flow, fillhole):
     return ao
 
 
+def depth_flow_project_forward(flow, depth):
+    """DepthFlowProjectionLayer_cpu_forward (my_lib.c:1637) -> (out, count).
+
+    The CPU path has no fillhole (my_lib.c:1744 prints 'Not implemented');
+    always called with fillhole=0."""
+    import numpy as np
+
+    t1, a1 = _th(flow)
+    t2, a2 = _th(depth)
+    B, _, H, W = a1.shape
+    count = np.zeros((B, 1, H, W), np.float32)
+    out = np.zeros_like(a1)
+    tc, ac = _th(count)
+    to, ao = _th(out)
+    rc = _lib().DepthFlowProjectionLayer_cpu_forward(
+        ctypes.byref(t1), ctypes.byref(t2), ctypes.byref(tc), ctypes.byref(to),
+        ctypes.c_int(0))
+    assert rc == 0, f"reference returned error {rc}"
+    return ao, ac
+
+
+def depth_flow_project_backward(flow, depth, count, output, gout):
+    """DepthFlowProjectionLayer_cpu_backward (my_lib.c:1751) ->
+    (grad_flow, grad_depth)."""
+    import numpy as np
+
+    t1, a1 = _th(flow)
+    t2, a2 = _th(depth)
+    tc, ac = _th(count)
+    to, ao = _th(output)
+    tg, ag = _th(gout)
+    g1, g2 = np.zeros_like(a1), np.zeros_like(a2)
+    tg1, ag1 = _th(g1)
+    tg2, ag2 = _th(g2)
+    rc = _lib().DepthFlowProjectionLayer_cpu_backward(
+        ctypes.byref(t1), ctypes.byref(t2), ctypes.byref(tc), ctypes.byref(to),
+        ctypes.byref(tg), ctypes.byref(tg1), ctypes.byref(tg2))
+    assert rc == 0, f"reference returned error {rc}"
+    return ag1, ag2
+
+
+def weighted_flow_project_forward(flow, frame1, frame2, threshold):
+    """WeightedFlowProjectionLayer_cpu_forward (my_lib.c:1879) ->
+    (out, weight, count); CPU path has no fillhole."""
+    import numpy as np
+
+    t1, a1 = _th(flow)
+    t2, a2 = _th(frame1)
+    t3, a3 = _th(frame2)
+    B, _, H, W = a1.shape
+    count = np.zeros((B, 1, H, W), np.float32)
+    weight = np.zeros((B, 1, H, W), np.float32)
+    out = np.zeros_like(a1)
+    tc, ac = _th(count)
+    tw, aw = _th(weight)
+    to, ao = _th(out)
+    fn = _lib().WeightedFlowProjectionLayer_cpu_forward
+    fn.argtypes = [ctypes.POINTER(_THFloatTensor)] * 6 + [
+        ctypes.c_int, ctypes.c_float]
+    fn.restype = ctypes.c_int
+    rc = fn(ctypes.byref(t1), ctypes.byref(t2), ctypes.byref(t3),
+            ctypes.byref(tc), ctypes.byref(tw), ctypes.byref(to),
+            0, threshold)
+    assert rc == 0, f"reference returned error {rc}"
+    return ao, aw, ac
+
+
+def weighted_flow_project_backward(flow, frame1, frame2, count, weight, gout,
+                                   threshold):
+    """WeightedFlowProjectionLayer_cpu_backward (my_lib.c:2030) -> grad_flow."""
+    import numpy as np
+
+    t1, a1 = _th(flow)
+    t2, a2 = _th(frame1)
+    t3, a3 = _th(frame2)
+    tc, ac = _th(count)
+    tw, aw = _th(weight)
+    tg, ag = _th(gout)
+    g1 = np.zeros_like(a1)
+    tg1, ag1 = _th(g1)
+    fn = _lib().WeightedFlowProjectionLayer_cpu_backward
+    fn.argtypes = [ctypes.POINTER(_THFloatTensor)] * 7 + [ctypes.c_float]
+    fn.restype = ctypes.c_int
+    rc = fn(ctypes.byref(t1), ctypes.byref(t2), ctypes.byref(t3),
+            ctypes.byref(tc), ctypes.byref(tw), ctypes.byref(tg),
+            ctypes.byref(tg1), threshold)
+    assert rc == 0, f"reference returned error {rc}"
+    return ag1
+
+
 def filter_interp_backward(image, flow, filt, gout):
     """FilterInterpolationLayer_cpu_backward (my_lib.c:1082) ->
     (grad_image, grad_flow, grad_filt)."""
