@@ -390,7 +390,7 @@ def filter_interp_warp_tiles(image_nhwc, wtap, plan, *, filter_size=4,
         num_scalar_prefetch=5,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # img_p stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # img_p stays in HBM
             pl.BlockSpec((1, fs * fs, TH, TW), wtap_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, TW), map_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TH, TW), map_idx, memory_space=pltpu.VMEM),
@@ -483,10 +483,18 @@ def _warp_band_hcw_kernel(fs, nb, ntw, SH, out_dtype,
             r0 = r0c_f[base] + dxk
             v = jax.lax.broadcasted_iota(jnp.int32, (LW, TW), 0)
             w_ = jax.lax.broadcasted_iota(jnp.int32, (LW, TW), 1)
+            # f32 sources need HIGHEST: the default TPU matmul truncates f32
+            # operands to bf16, which broke the fp32 A/B exactness in r4
+            # (identity warp maxerr 2^-9).  The 3-way bf16 split of HIGHEST
+            # reconstructs the one-hot selection exactly; bf16 sources are
+            # exact on the default path (single product per output, f32 acc).
+            prec = (jax.lax.Precision.HIGHEST
+                    if rows.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
             return [
                 jax.lax.dot_general(
                     rows, (v == w_ + (r0 + i)).astype(rows.dtype),
                     (((2,), (0,)), ((), ())),
+                    precision=prec,
                     preferred_element_type=jnp.float32)  # (TH+fs-1, Cp, TW)
                 for i in range(fs)
             ]
@@ -646,7 +654,7 @@ def filter_interp_warp_bands(image_nhwc, wtap, plan, *, filter_size=4,
         num_scalar_prefetch=6,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # img_p stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # img_p stays in HBM
             pl.BlockSpec((1, fs * fs * ntw * TH, TW), band_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
@@ -697,8 +705,12 @@ def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
     B, C, H, W = image_nchw.shape
     nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
     sh, pt, HP = plan["sh"], plan["pt"], plan["HP"]
-    Cp = _ceil_to(C, 128)
-    Co = _ceil_to(C, 8)  # output channel trim (sublane-aligned)
+    # Channels ride the SUBLANE axis in this layout, so they only need the
+    # dtype's sublane tile (8 f32 / 16 bf16), not a 128-lane pad: C=67 runs
+    # at Cp=72/80 instead of 128 — ~1.6x less window DMA + FMA + shift-matmul
+    # work (the NHWC kernels' 128 pad was a lanes-minormost constraint).
+    Cp = _ceil_to(C, _sublane(image_nchw.dtype))
+    Co = Cp  # output channel trim (sublane-aligned)
     PL = 2 * TW
     WSP = _ceil_to(Wp + 3 * TW, TW)  # lane window of the last tile must fit
     # C zero-pad first, then spatial edge pad (edge rows/cols of the zero
@@ -729,7 +741,7 @@ def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
         num_scalar_prefetch=5,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # img_p stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # img_p stays in HBM
             pl.BlockSpec((1, fs * fs * ntw * TH, TW), band_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ntw * TH, TW), band_idx, memory_space=pltpu.VMEM),
