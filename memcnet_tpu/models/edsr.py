@@ -7,8 +7,11 @@ Keys: head.0.*, body.{i}.body.{0,2}.*, body.{n}.* (tail conv of the body
 Sequential), tail.0.*.
 """
 
+import os
+
 import jax.numpy as jnp
 import jax.random as jr
+from jax import lax
 
 from memcnet_tpu.nn import layers as L
 from memcnet_tpu.nn import init as I
@@ -66,6 +69,8 @@ def forward_pieces(params, pieces, n_resblocks=10, prefix="rectifyNet"):
 
 
 def _body(params, h, n_resblocks, prefix):
+    if os.environ.get("MEMCNET_EDSR_NHWC"):
+        return _body_nhwc(params, h, n_resblocks, prefix)
     res = h
     for i in range(n_resblocks):
         r = L.p_conv(params, f"{prefix}.body.{i}.body.0", res, padding=1)
@@ -75,3 +80,21 @@ def _body(params, h, n_resblocks, prefix):
     res = L.p_conv(params, f"{prefix}.body.{n_resblocks}", res, padding=1)
     # no global residual: EDSR.py:47 `# res += x`
     return L.p_conv(params, f"{prefix}.tail.0", res, padding=1)
+
+
+def _body_nhwc(params, h, n_resblocks, prefix):
+    """A/B experiment: the body stack in NHWC (MEMCNET_EDSR_NHWC=1)."""
+
+    def conv(name, x):
+        w = params[f"{prefix}.{name}.weight"].transpose(2, 3, 1, 0)
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + params[f"{prefix}.{name}.bias"].astype(y.dtype)
+
+    res = h.transpose(0, 2, 3, 1)
+    for i in range(n_resblocks):
+        r = jnp.maximum(conv(f"body.{i}.body.0", res), 0)
+        res = res + conv(f"body.{i}.body.2", r)
+    res = conv(f"body.{n_resblocks}", res)
+    return conv("tail.0", res).transpose(0, 3, 1, 2)

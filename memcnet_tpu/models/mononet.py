@@ -21,6 +21,24 @@ import jax.random as jr
 
 from memcnet_tpu.nn import layers as L
 from memcnet_tpu.nn import init as I
+from memcnet_tpu.ops.pallas import conv_kernel as CK
+
+
+def _conv_maybe_fast(cur, w, b, fuse_relu):
+    """MEASURED NEGATIVE (r5): routing the MonoNet walk's small-C convs
+    through the Pallas band conv does NOT help in-model (C<=64 gate: 126.9 ms
+    vs 126.5 baseline; C<=32: 142.3 — partial routing breaks XLA's cross-op
+    layout choices and adds per-conv NCHW<->(H,C,W) prep).  The dual-walk
+    block-diagonal convs already sit at ~20-25% MXU in XLA's fused layouts,
+    unlike SPyNet's 7x7 stacks at ~4-12% where the same kernel wins 34 ms
+    (models/spynet.py).  Kept as the dispatch point with the kernel disabled;
+    flip MEMCNET_MONONET_PALLAS=1 to re-measure."""
+    import os
+
+    if (os.environ.get("MEMCNET_MONONET_PALLAS")
+            and CK.use_fast_conv(cur) and w.shape[1] <= 64 and w.shape[2] == 3):
+        return CK.conv2d_small_op(cur, w, b, relu=fuse_relu), fuse_relu
+    return L.conv2d(cur, w, b, stride=1, padding=1), False
 
 
 def _blocks_to_specs(blocks, with_bn):
@@ -128,7 +146,8 @@ def forward_dual_path(params, prefix_a, prefix_b, specs, x,
     """
     stack = []
     cur = jnp.concatenate([x, x], axis=1)
-    for kind, idx, meta in specs:
+    relu_done = False
+    for si, (kind, idx, meta) in enumerate(specs):
         if kind == "conv":
             wa = params[f"{prefix_a}.{idx}.weight"]
             wb = params[f"{prefix_b}.{idx}.weight"]
@@ -142,9 +161,12 @@ def forward_dual_path(params, prefix_a, prefix_b, specs, x,
             b = jnp.concatenate(
                 [params[f"{prefix_a}.{idx}.bias"], params[f"{prefix_b}.{idx}.bias"]], axis=0
             )
-            cur = L.conv2d(cur, w, b, stride=1, padding=1)
+            fuse = si + 1 < len(specs) and specs[si + 1][0] == "relu"
+            cur, relu_done = _conv_maybe_fast(cur, w, b, fuse)
         elif kind == "relu":
-            cur = L.relu(cur)
+            if not relu_done:
+                cur = L.relu(cur)
+            relu_done = False
         elif kind == "bn":
             g, bb, m, v = (
                 jnp.concatenate(
@@ -187,11 +209,17 @@ def forward_single_path(params, prefix, specs, x, training=False, bn_updates=Non
     their updated running stats into it keyed by parameter name."""
     stack = []
     cur = x
-    for kind, idx, _meta in specs:
+    relu_done = False
+    for si, (kind, idx, _meta) in enumerate(specs):
         if kind == "conv":
-            cur = L.p_conv(params, f"{prefix}.{idx}", cur, stride=1, padding=1)
+            fuse = si + 1 < len(specs) and specs[si + 1][0] == "relu"
+            cur, relu_done = _conv_maybe_fast(
+                cur, params[f"{prefix}.{idx}.weight"],
+                params.get(f"{prefix}.{idx}.bias"), fuse)
         elif kind == "relu":
-            cur = L.relu(cur)
+            if not relu_done:
+                cur = L.relu(cur)
+            relu_done = False
         elif kind == "bn":
             if training:
                 cur, nm, nv = L.batch_norm_train(

@@ -53,11 +53,21 @@ def _preprocess(x):
 
 
 def _basic(params, prefix, lvl, x):
+    from memcnet_tpu.ops.pallas import conv_kernel as CK
+
     h = x
     for j in range(5):
-        h = L.p_conv(params, f"{prefix}.moduleBasic.{lvl}.moduleBasic.{2 * j}", h, padding=3)
-        if j < 4:
-            h = L.relu(h)
+        name = f"{prefix}.moduleBasic.{lvl}.moduleBasic.{2 * j}"
+        if CK.use_fast_conv(h):
+            # Pallas band conv: the 7x7 small-C stacks are the model's
+            # dominant cost at ~12% MXU under XLA (PERF.md r5); ReLU fused
+            h = CK.conv2d_small_op(
+                h, params[name + ".weight"], params[name + ".bias"],
+                relu=j < 4)
+        else:
+            h = L.p_conv(params, name, h, padding=3)
+            if j < 4:
+                h = L.relu(h)
     return h
 
 

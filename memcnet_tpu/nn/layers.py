@@ -381,7 +381,9 @@ def _gs_fast_op(_cache={}):
             return _grid_sample_fast(x, grid, interpret=interpret)
 
         def fwd(x, grid):
-            return _grid_sample_xla(x, grid), (x, grid)
+            # Pallas fast path for the training value too (raw-input
+            # residuals); backward stays the XLA formulation's exact VJP
+            return _grid_sample_fast(x, grid, interpret=interpret), (x, grid)
 
         def bwd(res, g):
             _, vjp = jax.vjp(_grid_sample_xla, *res)

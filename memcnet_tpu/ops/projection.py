@@ -204,7 +204,12 @@ def _fast_fill(interpret=False, _cache={}):
             return fill_holes(avg, cnt, interpret=interpret)
 
         def fwd(avg, cnt):
-            return _directional_fill_xla(avg, cnt, False), (avg, cnt)
+            from memcnet_tpu.ops.pallas.fill_kernel import fill_holes
+
+            # Pallas fill for the training value too (fill is eval-only in
+            # the reference, but VE-style pipelines may differentiate through
+            # it); backward stays the XLA scans' exact VJP.
+            return fill_holes(avg, cnt, interpret=interpret), (avg, cnt)
 
         def bwd(res, g):
             _, vjp = _jax.vjp(

@@ -273,18 +273,24 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
 
 
 @lru_cache(maxsize=None)
-def _fast_op(filter_size):
-    """custom_vjp wrapper: inference runs the Pallas forward; differentiation
-    runs the XLA forward AND backward (bit-identical to the reference-parity
-    gradient tests — the hand-derived reference backward is my_lib_kernel.cu:
+def _fast_op(filter_size, interpret=False):
+    """custom_vjp wrapper: the Pallas forward runs in BOTH inference and
+    training (fwd returns ``_fast_forward`` with raw-input residuals — r4 ran
+    the XLA formulation for the training value too, making a 720p train step
+    pay ~95 ms/warp where inference pays ~7); the backward still runs the XLA
+    formulation's exact VJP (bit-identical to the reference-parity gradient
+    tests — the hand-derived reference backward is my_lib_kernel.cu:
     1220-1518, reproduced by autodiff of _xla_forward)."""
 
     @jax.custom_vjp
     def op(image, flow, filt):
-        return _fast_forward(image, flow, filt, filter_size)
+        return _fast_forward(image, flow, filt, filter_size,
+                             interpret=interpret)
 
     def fwd(image, flow, filt):
-        return _xla_forward(image, flow, filt, filter_size), (image, flow, filt)
+        return (_fast_forward(image, flow, filt, filter_size,
+                              interpret=interpret),
+                (image, flow, filt))
 
     def bwd(res, g):
         _, vjp = jax.vjp(
@@ -294,6 +300,9 @@ def _fast_op(filter_size):
 
     op.defvjp(fwd, bwd)
     return op
+
+
+_FORCE_INTERPRET = False  # tests: run the Pallas fast op interpreted on CPU
 
 
 def _use_pallas():
@@ -341,10 +350,17 @@ def filter_interp_warp(image, flow, filt, *, filter_size=4):
     return _global_filter_interp_warp(image, flow, filt, filter_size=filter_size)
 
 
-@partial(jax.jit, static_argnames=("filter_size",))
 def _global_filter_interp_warp(image, flow, filt, *, filter_size=4):
-    if _use_pallas():
-        return _fast_op(filter_size)(image, flow, filt)
+    return _global_filter_interp_warp_jit(
+        image, flow, filt, filter_size=filter_size,
+        force_interpret=_FORCE_INTERPRET)
+
+
+@partial(jax.jit, static_argnames=("filter_size", "force_interpret"))
+def _global_filter_interp_warp_jit(image, flow, filt, *, filter_size=4,
+                                   force_interpret=False):
+    if force_interpret or _use_pallas():
+        return _fast_op(filter_size, force_interpret)(image, flow, filt)
     return _xla_forward(image, flow, filt, filter_size)
 
 

@@ -46,9 +46,15 @@ def test_dryrun_multichip_8dev_2cores():
         proc = subprocess.run(
             cmd, cwd=repo, env=env, capture_output=True, text=True, timeout=570
         )
-        if proc.returncode == 0:
+        # r5 (VERDICT r4 weak #6): a "may be stuck" rendezvous warning that
+        # self-resolves is a canary for the 40 s collective deadline — treat
+        # it as a failed attempt so growth in the sharded program surfaces
+        # here instead of flaking the driver's MULTICHIP run later.
+        clean = "may be stuck" not in (proc.stdout + proc.stderr)
+        if proc.returncode == 0 and clean:
             break
     tail = (proc.stdout + proc.stderr)[-3000:]
     assert proc.returncode == 0, f"dryrun failed rc={proc.returncode}:\n{tail}"
     assert "DRYRUN_PASS" in proc.stdout, tail
     assert "dryrun_multichip OK" in proc.stdout, tail
+    assert clean, f"rendezvous 'may be stuck' warnings on both attempts:\n{tail}"

@@ -69,6 +69,17 @@ class TestGoldenDegradationPSNR:
     """PSNR(degraded im4, target im4) on the 0-255 scale of the demo protocol
     (demo_Vimeo_VE.py:154-160) — weight-free values that pin loader + metric."""
 
+    # exact values pinned r5 (VERDICT r4 weak #4): the loader + metric are
+    # bit-deterministic, so numeric drift in either fails here instead of
+    # waiting for a human to read PERF.md.  Sequence order = sorted paths.
+    GOLDEN = {
+        "denoise": [22.422521378240475, 23.202354783672206,
+                    23.937922647711964, 23.757108511439327],
+        "sr": [29.11745649780235, 26.28503900687075,
+               33.136941812255756, 32.112894697376056],
+        "deblock": None,  # fixture symlinks dead in the reference checkout
+    }
+
     @pytest.mark.parametrize("task", ["denoise", "sr", "deblock"])
     def test_degraded_psnr_reproducible(self, task, seqs):
         from memcnet_tpu.data.vimeo90k import load_window
@@ -79,9 +90,15 @@ class TestGoldenDegradationPSNR:
         vals = []
         for s in seqs:
             frames, target = load_window(FIXTURES, s, task)
-            vals.append(psnr(frames[3] * 255.0, target * 255.0))
-        # degraded inputs must be measurably worse than lossless but sane
-        assert all(10.0 < v < 60.0 for v in vals), (task, vals)
+            vals.append(float(psnr(frames[3] * 255.0, target * 255.0)))
+        want = self.GOLDEN[task]
+        if want is not None:
+            # order-independent: the seqs fixture's directory order is
+            # filesystem-dependent, the VALUES are the pinned artifact
+            np.testing.assert_allclose(sorted(vals), sorted(want),
+                                       rtol=0, atol=1e-9)
+        else:
+            assert all(10.0 < v < 60.0 for v in vals), (task, vals)
         # determinism: reloading gives bit-identical metrics
         frames2, target2 = load_window(FIXTURES, seqs[0], task)
         assert psnr(frames2[3] * 255.0, target2 * 255.0) == vals[0]
@@ -110,3 +127,28 @@ class TestVEProtocolSmoke:
         s = ssim(np.clip(out, 0, 1).transpose(1, 2, 0), target[:, :128, :128].transpose(1, 2, 0),
                  multichannel=True, data_range=1.0)
         assert np.isfinite(p) and -1.0 <= s <= 1.0
+
+
+class TestForwardChecksumGuard:
+    """Small-geometry analogue of the bench checksum (VERDICT r4 weak #4):
+    MEMC_Net_star forward sums at a fixed seed, pinned so numeric drift in
+    any op on the star path fails CI instead of silently moving PERF.md's
+    hardware checksum.  f32 on CPU; tolerance covers reduction-order noise
+    across XLA releases, not semantic drift."""
+
+    def test_star_forward_checksum(self):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        from memcnet_tpu import models as M
+
+        model = M.get_model("MEMC_Net_star")
+        params = model.init_params(jr.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+        x2 = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+        (interp, rect), *_ = model.forward(params, x0, x2)
+        np.testing.assert_allclose(float(jnp.sum(interp)), 397.3996887207031,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(jnp.sum(rect)), 17026.98046875,
+                                   rtol=2e-5)

@@ -85,7 +85,7 @@ class TestFastOpGradients:
         image = rng.rand(B, C, H, Wd).astype(np.float32)
         flow = (rng.rand(B, 2, H, Wd).astype(np.float32) - 0.5) * 3
         filt = rng.rand(B, 16, H, Wd).astype(np.float32)
-        op = W._fast_op(4)
+        op = W._fast_op(4, interpret=True)
 
         def loss_fast(a, b, c):
             return jnp.sum(op(a, b, c) ** 2)
@@ -125,3 +125,64 @@ class TestChunkedFallback:
             assert B * rows * 1344 * 16 * 67 * 4 <= 256 * 1024 * 1024
         # more batch -> smaller bands
         assert W._row_chunk_for(768, 1344, 67, 4, 4) <= W._row_chunk_for(768, 1344, 67, 4, 1)
+
+
+class TestTrainingForwardRunsPallas:
+    """r5: custom_vjp fwd returns the Pallas fast forward (raw-input
+    residuals), so training pays the kernel price, not the ~95 ms/warp XLA
+    gather path.  Value parity: a differentiated step's primal on the Pallas
+    path must match the XLA formulation (f32, interpret mode), and gradients
+    stay the XLA-exact VJP."""
+
+    def test_vjp_primal_matches_xla_and_grads_unchanged(self, rng):
+        B, C, H, Wd = 1, 3, 16, 128
+        image = rng.rand(B, C, H, Wd).astype(np.float32)
+        flow = (rng.rand(B, 2, H, Wd).astype(np.float32) - 0.5) * 3
+        filt = rng.rand(B, 16, H, Wd).astype(np.float32)
+        op = W._fast_op(4, interpret=True)
+
+        primal, vjp = jax.vjp(op, image, flow, filt)
+        want = W._xla_forward(image, flow, filt, 4)
+        np.testing.assert_allclose(
+            np.asarray(primal), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+        g = rng.rand(B, C, H, Wd).astype(np.float32)
+        _, vjp_xla = jax.vjp(lambda a, b, c: W._xla_forward(a, b, c, 4),
+                             image, flow, filt)
+        for a, b in zip(vjp(jnp.asarray(g)), vjp_xla(jnp.asarray(g))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_train_step_loss_matches_xla_forward(self, rng):
+        """A full MEMC_Net_star train-residual loss on the Pallas-forward
+        path equals the XLA-forward loss (CPU interpret mode, f32)."""
+        from memcnet_tpu import models as M
+        import memcnet_tpu.ops.projection as P
+        import jax.random as jr
+
+        model = M.get_model("MEMC_Net_star")
+        params = model.init_params(jr.PRNGKey(0))
+        x0 = jnp.asarray(rng.rand(1, 3, 64, 128).astype(np.float32))
+        x1 = jnp.asarray(rng.rand(1, 3, 64, 128).astype(np.float32))
+        x2 = jnp.asarray(rng.rand(1, 3, 64, 128).astype(np.float32))
+
+        def loss(p):
+            residuals, *_ = model.train_residuals(p, x0, x1, x2)
+            return sum(jnp.mean(jnp.abs(r)) for r in residuals)
+
+        l_xla, g_xla = jax.value_and_grad(loss)(params)
+        W._FORCE_INTERPRET = True
+        P._FORCE_INTERPRET = True
+        try:
+            l_pk, g_pk = jax.value_and_grad(loss)(params)
+        finally:
+            W._FORCE_INTERPRET = False
+            P._FORCE_INTERPRET = False
+        np.testing.assert_allclose(float(l_pk), float(l_xla),
+                                   rtol=1e-5, atol=1e-6)
+        # grads differ only through the primal's f32 summation-order noise
+        # feeding downstream activations (the VJP itself is the same XLA VJP)
+        for k in g_xla:
+            np.testing.assert_allclose(
+                np.asarray(g_pk[k]), np.asarray(g_xla[k]),
+                rtol=2e-3, atol=2e-4, err_msg=k)

@@ -111,8 +111,61 @@ def classify(hlo_name, scope):
     return hlo_name.split(".")[0]
 
 
+def parse_hlo_opnames(hlo_path):
+    """instruction name -> (op_name metadata, result shape) from an optimized
+    HLO text dump (jit(...).lower(...).compile().as_text())."""
+    import re
+
+    out = {}
+    for line in open(hlo_path):
+        m = re.match(r"\s+(?:ROOT )?%?([\w.-]+) = (\S+)", line)
+        if not m:
+            continue
+        name, shape = m.group(1), m.group(2)
+        om = re.search(r'op_name="([^"]+)"', line)
+        out[name] = (om.group(1) if om else "", shape)
+    return out
+
+
+def attributed_table(trace_dir, hlo_path, module_substr="step"):
+    """Trace rows joined with the HLO dump's op_name scopes.  The dump must be
+    the SAME program as the trace (same code state) for names to line up."""
+    names = parse_hlo_opnames(hlo_path)
+    mod, win_ps, rows = op_table(trace_dir, module_substr)
+    out = []
+    for scope, name, ps, n in rows:
+        key = name.split(" = ")[0].lstrip("%")
+        op_name, shape = names.get(key, ("?", "?"))
+        out.append((ps, n, key, shape, op_name))
+    return mod, win_ps, out
+
+
 def main():
     trace_dir = sys.argv[1]
+    if "--hlo" in sys.argv:
+        hlo_path = sys.argv[sys.argv.index("--hlo") + 1]
+        top = 60
+        if "--top" in sys.argv:
+            top = int(sys.argv[sys.argv.index("--top") + 1])
+        mod, win_ps, rows = attributed_table(trace_dir, hlo_path)
+        print(f"module: {mod}  window {win_ps/1e9:.3f} ms")
+        miss = sum(1 for r in rows if r[4] == "?")
+        print(f"({miss}/{len(rows)} rows missing from the HLO dump — "
+              f"re-dump if large)")
+        import collections
+        seg = collections.defaultdict(int)
+        for ps, n, key, shape, op_name in rows:
+            # group by the deepest jax scope path piece before the hlo op
+            parts = [p for p in op_name.split("/") if p][1:-1] or ["(none)"]
+            seg["/".join(parts[:3])] += ps
+        print("\nby jax scope (3 levels):")
+        for k, v in sorted(seg.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"{v/1e9:9.3f}  {k}")
+        print(f"\n{'ms':>9} {'n':>4}  {'hlo':<28} {'shape':<40} op_name")
+        for ps, n, key, shape, op_name in rows[:top]:
+            print(f"{ps/1e9:9.3f} {n:4d}  {key[:28]:<28} {shape[:40]:<40} "
+                  f"{op_name[-70:]}")
+        return
     top = 40
     module_substr = "step"
     for i, a in enumerate(sys.argv):
