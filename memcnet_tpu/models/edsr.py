@@ -56,11 +56,35 @@ def forward_pieces(params, pieces, n_resblocks=10, prefix="rectifyNet"):
     changed its input layouts; per-piece convs stay on the fast path."""
     w = params[f"{prefix}.head.0.weight"]
     b = params[f"{prefix}.head.0.bias"]
-    off = 0
-    h = None
+    # Adjacent SMALL pieces (the 1-3 ch flow/occlusion/blend planes) merge
+    # into one conv call each — a 2-ch head conv costs ~1.3 ms of layout
+    # fusion on v5e while the concat of a few small planes is ~free; big
+    # pieces (ctx, 64 ch) stay per-piece so the r4 layout-decoupling holds.
+    groups = []
+    cur = []
+    cur_c = 0
     for piece in pieces:
         c = piece.shape[1]
-        part = L.conv2d(piece, w[:, off:off + c], None, stride=1, padding=1)
+        if c >= 64:
+            if cur:
+                groups.append(cur)
+                cur, cur_c = [], 0
+            groups.append([piece])
+        else:
+            cur.append(piece)
+            cur_c += c
+            if cur_c >= 32:
+                groups.append(cur)
+                cur, cur_c = [], 0
+    if cur:
+        groups.append(cur)
+
+    off = 0
+    h = None
+    for group in groups:
+        x = group[0] if len(group) == 1 else jnp.concatenate(group, axis=1)
+        c = x.shape[1]
+        part = L.conv2d(x, w[:, off:off + c], None, stride=1, padding=1)
         h = part if h is None else h + part
         off += c
     assert off == w.shape[1], (off, w.shape)

@@ -544,6 +544,123 @@ def _warp_band_hcw_kernel(fs, nb, ntw, SH, out_dtype,
     jax.lax.fori_loop(0, ntw, tile, 0)
 
 
+def _warp_band_hcw2_kernel(fs, nb, ntw, SH, out_dtype,
+                           row0_f, dylo_f, r0c_f, nx_f, nyx_f,       # prefetch
+                           img_hbm, filt_ref, ab_ref, dyr_ref, dxr_ref,
+                           out_ref,                                  # (1, ntw*TH, Cp, TW)
+                           win_ref, acc_ref, sem):                   # scratch
+    """HCW band kernel v2: tap weights are built IN-KERNEL from the raw
+    filter planes and the (alpha, beta) subpixel fractions, both read in
+    their NATURAL (B, C, nth, TH, Wp) layout (a free bitcast-reshape of
+    NCHW).  This deletes the launcher-side fused-weight computation and its
+    fs^2-plane pad/reshape/transpose remap (~2 ms/warp of XLA data movement
+    at 720p, r5 trace).  Validity rides the dy_rel >= 0 sentinel.  bf16
+    sources round the weight product to bf16 before the FMA — exactly the
+    XLA fallback's weight cast (warp.py _xla_forward)."""
+    g = pl.program_id(0)
+    LW = 3 * TW
+    half = fs // 2
+
+    def start_dma(slot, gg):
+        return pltpu.make_async_copy(
+            img_hbm.at[gg // nb, pl.ds(row0_f[gg], SH), :, :],
+            win_ref.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(0, g).start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _():
+        start_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+    start_dma(slot, g).wait()
+
+    bf16_round = jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+
+    def tile(t, _):
+        base = g * ntw + t
+        nyx = nyx_f[base]
+        ls = pl.multiple_of((t + 1) * TW, TW)
+        lo = pl.multiple_of(t * TW, TW)
+
+        alpha = ab_ref[0, 0, 0, :, pl.ds(lo, TW)].astype(jnp.float32)
+        beta = ab_ref[0, 1, 0, :, pl.ds(lo, TW)].astype(jnp.float32)
+        dyrt = dyr_ref[0, 0, :, pl.ds(lo, TW)]
+        dxrt = dxr_ref[0, 0, :, pl.ds(lo, TW)]
+        wy = (1.0 - beta, beta)
+        wx = (1.0 - alpha, alpha)
+
+        def wk_plane(k):
+            j, i = k // fs, k - (k // fs) * fs
+            w = (filt_ref[0, k, 0, :, pl.ds(lo, TW)].astype(jnp.float32)
+                 * wy[1 if j >= half else 0] * wx[1 if i >= half else 0])
+            if bf16_round:
+                w = w.astype(jnp.bfloat16).astype(jnp.float32)
+            return w
+
+        def rolled_slabs(dyk, dxk):
+            rows = win_ref[slot, pl.ds(dylo_f[base] + dyk, TH + fs - 1), :,
+                           pl.ds(ls, LW)]
+            r0 = r0c_f[base] + dxk
+            v = jax.lax.broadcasted_iota(jnp.int32, (LW, TW), 0)
+            w_ = jax.lax.broadcasted_iota(jnp.int32, (LW, TW), 1)
+            prec = (jax.lax.Precision.HIGHEST
+                    if rows.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+            return [
+                jax.lax.dot_general(
+                    rows, (v == w_ + (r0 + i)).astype(rows.dtype),
+                    (((2,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)
+                for i in range(fs)
+            ]
+
+        def fma(slabs, wsel):
+            a = jnp.zeros_like(acc_ref)
+            for j in range(fs):
+                for i in range(fs):
+                    w = wsel(j * fs + i)
+                    tap = slabs[i][j:j + TH]
+                    a = a + w[:, None, :] * tap
+            acc_ref[:] = acc_ref[:] + a
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(nyx == 1)
+        def _():
+            # single bucket: validity no longer pre-zeroed into the weights,
+            # so mask on the >= 0 sentinel (invalid pixels carry rel = -1)
+            m = (dyrt >= 0).astype(jnp.float32)
+            fma(rolled_slabs(0, 0), lambda kk: wk_plane(kk) * m)
+
+        @pl.when(nyx > 1)
+        def _():
+            nx = nx_f[base]
+
+            def bucket(k, _c):
+                dyk = k // nx
+                dxk = k - dyk * nx
+                match = (dyrt == dyk) & (dxrt == dxk)
+
+                @pl.when(jnp.any(match))
+                def _():
+                    m = match.astype(jnp.float32)
+                    fma(rolled_slabs(dyk, dxk), lambda kk: wk_plane(kk) * m)
+
+                return 0
+
+            jax.lax.fori_loop(0, nyx, bucket, 0)
+
+        Co = out_ref.shape[2]
+        out_ref[0, pl.ds(t * TH, TH), :, :] = acc_ref[:, :Co].astype(out_dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ntw, tile, 0)
+
+
 def plan_band_tiles(dy, dx, valid, filter_size, dtype=jnp.float32, sh=BSH):
     """Band-kernel plan: per-tile offset stats (plan_tiles) + per-band window
     anchors and the band-geometry ok gate.  All XLA reductions."""
@@ -690,6 +807,81 @@ def filter_interp_warp_bands(image_nhwc, wtap, plan, *, filter_size=4,
     return out[:, :C, :H, :W]
 
 
+def filter_interp_warp_bands_hcw2(image_nchw, filt, alpha, beta, plan, *,
+                                  filter_size=4, interpret=False):
+    """v2 HCW launcher: passes the RAW filter + (alpha, beta) fractions in
+    natural layout (free bitcast reshapes of NCHW) and lets the kernel build
+    the tap weights — no fused-weight fusion, no fs^2-plane remap, no
+    dy/dx remaps (see _warp_band_hcw2_kernel).  Returns NCHW."""
+    fs = filter_size
+    B, C, H, W = image_nchw.shape
+    nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
+    sh, pt, HP = plan["sh"], plan["pt"], plan["HP"]
+    Cp = _ceil_to(C, _sublane(image_nchw.dtype))
+    Co = Cp
+    PL = 2 * TW
+    WSP = _ceil_to(Wp + 3 * TW, TW)
+    img_p = jnp.pad(image_nchw, ((0, 0), (0, Cp - C), (0, 0), (0, 0)))
+    img_p = jnp.pad(img_p,
+                    ((0, 0), (0, 0), (pt, HP - pt - H), (PL, WSP - PL - W)),
+                    mode="edge")
+    img_p = img_p.transpose(0, 2, 1, 3)  # (B, HP, Cp, WSP)
+
+    G = B * nth
+    pad_hw = ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
+    filt_r = jnp.pad(filt, pad_hw).reshape(B, fs * fs, nth, TH, Wp)
+    ab_r = jnp.pad(
+        jnp.stack([alpha, beta], axis=1).astype(jnp.float32), pad_hw
+    ).reshape(B, 2, nth, TH, Wp)
+    dyr = plan["dy_rel"].reshape(B, nth, TH, Wp)
+    dxr = plan["dx_rel"].reshape(B, nth, TH, Wp)
+
+    def bmap5(g, *_refs):
+        return g // nth, 0, g % nth, 0, 0
+
+    def bmap4(g, *_refs):
+        return g // nth, g % nth, 0, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # img_p stays in HBM
+            pl.BlockSpec((1, fs * fs, 1, TH, Wp), bmap5,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 1, TH, Wp), bmap5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, Wp), bmap4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, Wp), bmap4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ntw * TH, Co, TW),
+                               lambda g, *_r: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, sh, Cp, WSP), img_p.dtype),
+            pltpu.VMEM((TH, Cp, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kern(r0s, dylos, r0cs, nxs, nyxs, img, ft, ab, dyrr, dxrr,
+             out, win, acc, sem):
+        _warp_band_hcw2_kernel(fs, nth, ntw, sh, image_nchw.dtype,
+                               r0s, dylos, r0cs, nxs, nyxs,
+                               img, ft, ab, dyrr, dxrr, out, win, acc, sem)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((G, ntw * TH, Co, TW), image_nchw.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(plan["row0"], plan["dylo"], plan["r0c"], plan["nxf"], plan["nyx"],
+      img_p, filt_r, ab_r, dyr, dxr)
+    out = (out.reshape(B, nth, ntw, TH, Co, TW)
+           .transpose(0, 4, 1, 3, 2, 5).reshape(B, Co, Hp, Wp))
+    return out[:, :C, :H, :W]
+
+
 def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
                                  interpret=False):
     """Run the HCW band kernel directly on NCHW input; returns NCHW.
@@ -722,7 +914,11 @@ def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,
     img_p = img_p.transpose(0, 2, 1, 3)  # (B, HP, Cp, WSP)
 
     G = B * nth
-    wtap_p = jnp.pad(wtap.astype(jnp.float32),
+    # wtap rides in the SOURCE dtype: bf16 runs halve the 66 MB weight-plane
+    # pipeline (and match the XLA fallback, which casts weights to the patch
+    # dtype before its einsum — warp.py _xla_forward); f32 parity runs keep
+    # f32 end to end.
+    wtap_p = jnp.pad(wtap.astype(image_nchw.dtype),
                      ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
     wtap_r = (wtap_p.reshape(B, fs * fs, nth, TH, ntw, TW)
               .transpose(0, 2, 1, 4, 3, 5).reshape(G, fs * fs * ntw * TH, TW))

@@ -242,20 +242,23 @@ def _fast_forward(image, flow, filt, filter_size, interpret=False):
     dy = iy + (1 - half) - ys  # tap (j,i) reads source (y+dy+j, x+dx+i)
     dx = ix + (1 - half) - xs
     plan = _wk.plan_band_tiles(dy, dx, valid, fs, image.dtype)
-    wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
 
     if not os.environ.get("MEMCNET_WARP_NHWC"):
         # HCW layout: weight broadcast rides the sublane axis natively and
         # the NCHW<->NHWC transposes disappear (~7 ms/call of per-tap weight
-        # relayout measured on v5e in the channels-on-lanes kernel).
+        # relayout measured on v5e in the channels-on-lanes kernel).  v2:
+        # tap weights are built in-kernel from filt + (alpha, beta) in
+        # natural layout — no fused-weight fusion or fs^2-plane remap.
         ok = plan["hcw_ok"]
 
         def pallas_branch(_):
-            return _wk.filter_interp_warp_bands_hcw(
-                image, wtap, plan, filter_size=fs, interpret=interpret)
+            return _wk.filter_interp_warp_bands_hcw2(
+                image, filt, alpha, beta, plan, filter_size=fs,
+                interpret=interpret)
     else:
         ok = plan["band_ok"]
         img_nhwc = image.transpose(0, 2, 3, 1)
+        wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
 
         def pallas_branch(_):
             return _wk.filter_interp_warp_bands(
