@@ -89,15 +89,18 @@ class MEMCNetVE:
 
         # ONE 6B-batched warp: the Pallas band kernel's grid scales linearly
         # with batch (unlike the old XLA gather, whose per-descriptor cost
-        # rose with a batch dim — the r3 measurement that kept these split)
-        m_all = filter_interp_warp(
-            jnp.concatenate((neigh, ctx_n), 1), flow, filt, filter_size=fs)
+        # rose with a batch dim — the r3 measurement that kept these split).
+        # r5: the split API warps frame + context without the channel concat
+        # or output slicing.
+        from memcnet_tpu.ops.warp import filter_interp_warp_split
+
+        w_all, cw_all = filter_interp_warp_split(
+            (neigh, ctx_n), flow, filt, filter_size=fs)
         warped = []
         ctx_warped = []
         for k in range(6):
-            m = nb(m_all, k)
-            warped.append(m[:, :3])
-            ctx_warped.append(jax.lax.stop_gradient(m[:, 3:]))  # :474
+            warped.append(nb(w_all, k))
+            ctx_warped.append(jax.lax.stop_gradient(nb(cw_all, k)))  # :474
 
         # re-interleave into temporal order with the center passthrough (:208-239)
         outs = warped[:3] + [center] + warped[3:]

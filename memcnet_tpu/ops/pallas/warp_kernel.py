@@ -544,11 +544,9 @@ def _warp_band_hcw_kernel(fs, nb, ntw, SH, out_dtype,
     jax.lax.fori_loop(0, ntw, tile, 0)
 
 
-def _warp_band_hcw2_kernel(fs, nb, ntw, SH, out_dtype,
+def _warp_band_hcw2_kernel(fs, nb, ntw, SH, out_dtype, cps,
                            row0_f, dylo_f, r0c_f, nx_f, nyx_f,       # prefetch
-                           img_hbm, filt_ref, ab_ref, dyr_ref, dxr_ref,
-                           out_ref,                                  # (1, ntw*TH, Cp, TW)
-                           win_ref, acc_ref, sem):                   # scratch
+                           *refs):                                   # see below
     """HCW band kernel v2: tap weights are built IN-KERNEL from the raw
     filter planes and the (alpha, beta) subpixel fractions, both read in
     their NATURAL (B, C, nth, TH, Wp) layout (a free bitcast-reshape of
@@ -556,27 +554,45 @@ def _warp_band_hcw2_kernel(fs, nb, ntw, SH, out_dtype,
     fs^2-plane pad/reshape/transpose remap (~2 ms/warp of XLA data movement
     at 720p, r5 trace).  Validity rides the dy_rel >= 0 sentinel.  bf16
     sources round the weight product to bf16 before the FMA — exactly the
-    XLA fallback's weight cast (warp.py _xla_forward)."""
+    XLA fallback's weight cast (warp.py _xla_forward).
+
+    MULTI-IMAGE: ``cps`` lists each source's padded channel count.  The N
+    images arrive as SEPARATE HBM refs (no XLA-side channel concat), DMA
+    into stacked sublane ranges of one shared window, share the one
+    shift-matmul + FMA pass, and leave as N separate outputs (no XLA-side
+    channel slicing — the model gets warped image and warped context as
+    distinct tensors)."""
+    n_img = len(cps)
+    imgs = refs[:n_img]
+    filt_ref, ab_ref, dyr_ref, dxr_ref = refs[n_img:n_img + 4]
+    outs = refs[n_img + 4:2 * n_img + 4]
+    win_ref, acc_ref, sem = refs[2 * n_img + 4:]
+    coffs = [sum(cps[:i]) for i in range(n_img + 1)]
+
     g = pl.program_id(0)
     LW = 3 * TW
     half = fs // 2
 
-    def start_dma(slot, gg):
+    def start_dma(slot, gg, i):
         return pltpu.make_async_copy(
-            img_hbm.at[gg // nb, pl.ds(row0_f[gg], SH), :, :],
-            win_ref.at[slot], sem.at[slot])
+            imgs[i].at[gg // nb, pl.ds(row0_f[gg], SH), :, :],
+            win_ref.at[slot, :, pl.ds(coffs[i], cps[i]), :],
+            sem.at[slot, i])
 
     slot = jax.lax.rem(g, 2)
 
     @pl.when(g == 0)
     def _():
-        start_dma(0, g).start()
+        for i in range(n_img):
+            start_dma(0, g, i).start()
 
     @pl.when(g + 1 < pl.num_programs(0))
     def _():
-        start_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+        for i in range(n_img):
+            start_dma(jax.lax.rem(g + 1, 2), g + 1, i).start()
 
-    start_dma(slot, g).wait()
+    for i in range(n_img):
+        start_dma(slot, g, i).wait()
 
     bf16_round = jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
 
@@ -654,8 +670,9 @@ def _warp_band_hcw2_kernel(fs, nb, ntw, SH, out_dtype,
 
             jax.lax.fori_loop(0, nyx, bucket, 0)
 
-        Co = out_ref.shape[2]
-        out_ref[0, pl.ds(t * TH, TH), :, :] = acc_ref[:, :Co].astype(out_dtype)
+        for i in range(n_img):
+            outs[i][0, pl.ds(t * TH, TH), :, :] = (
+                acc_ref[:, coffs[i]:coffs[i + 1]].astype(out_dtype))
         return 0
 
     jax.lax.fori_loop(0, ntw, tile, 0)
@@ -807,25 +824,34 @@ def filter_interp_warp_bands(image_nhwc, wtap, plan, *, filter_size=4,
     return out[:, :C, :H, :W]
 
 
-def filter_interp_warp_bands_hcw2(image_nchw, filt, alpha, beta, plan, *,
+def filter_interp_warp_bands_hcw2(images, filt, alpha, beta, plan, *,
                                   filter_size=4, interpret=False):
     """v2 HCW launcher: passes the RAW filter + (alpha, beta) fractions in
     natural layout (free bitcast reshapes of NCHW) and lets the kernel build
     the tap weights — no fused-weight fusion, no fs^2-plane remap, no
-    dy/dx remaps (see _warp_band_hcw2_kernel).  Returns NCHW."""
+    dy/dx remaps (see _warp_band_hcw2_kernel).
+
+    ``images`` is a LIST of NCHW sources sharing the flow/filter (e.g. the
+    frame and its 64-ch context): each is padded/transposed separately (no
+    channel concat) and warped in one shared kernel pass; returns the list
+    of warped NCHW outputs (no channel slicing)."""
     fs = filter_size
-    B, C, H, W = image_nchw.shape
+    B, _, H, W = images[0].shape
+    dt = images[0].dtype
     nth, ntw, Hp, Wp = plan["nth"], plan["ntw"], plan["Hp"], plan["Wp"]
     sh, pt, HP = plan["sh"], plan["pt"], plan["HP"]
-    Cp = _ceil_to(C, _sublane(image_nchw.dtype))
-    Co = Cp
+    sub = _sublane(dt)
+    cps = [_ceil_to(im.shape[1], sub) for im in images]
+    Cp = sum(cps)
     PL = 2 * TW
     WSP = _ceil_to(Wp + 3 * TW, TW)
-    img_p = jnp.pad(image_nchw, ((0, 0), (0, Cp - C), (0, 0), (0, 0)))
-    img_p = jnp.pad(img_p,
-                    ((0, 0), (0, 0), (pt, HP - pt - H), (PL, WSP - PL - W)),
+
+    imgs_p = []
+    for im, cp in zip(images, cps):
+        p = jnp.pad(im, ((0, 0), (0, cp - im.shape[1]), (0, 0), (0, 0)))
+        p = jnp.pad(p, ((0, 0), (0, 0), (pt, HP - pt - H), (PL, WSP - PL - W)),
                     mode="edge")
-    img_p = img_p.transpose(0, 2, 1, 3)  # (B, HP, Cp, WSP)
+        imgs_p.append(p.transpose(0, 2, 1, 3))  # (B, HP, cp, WSP)
 
     G = B * nth
     pad_hw = ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W))
@@ -845,41 +871,45 @@ def filter_interp_warp_bands_hcw2(image_nchw, filt, alpha, beta, plan, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # img_p stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(images) + [
             pl.BlockSpec((1, fs * fs, 1, TH, Wp), bmap5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 1, TH, Wp), bmap5, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TH, Wp), bmap4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TH, Wp), bmap4, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ntw * TH, Co, TW),
-                               lambda g, *_r: (g, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, ntw * TH, cp, TW), lambda g, *_r: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for cp in cps
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, sh, Cp, WSP), img_p.dtype),
+            pltpu.VMEM((2, sh, Cp, WSP), dt),
             pltpu.VMEM((TH, Cp, TW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, len(images))),
         ],
     )
 
-    def kern(r0s, dylos, r0cs, nxs, nyxs, img, ft, ab, dyrr, dxrr,
-             out, win, acc, sem):
-        _warp_band_hcw2_kernel(fs, nth, ntw, sh, image_nchw.dtype,
-                               r0s, dylos, r0cs, nxs, nyxs,
-                               img, ft, ab, dyrr, dxrr, out, win, acc, sem)
+    def kern(r0s, dylos, r0cs, nxs, nyxs, *refs):
+        _warp_band_hcw2_kernel(fs, nth, ntw, sh, dt, tuple(cps),
+                               r0s, dylos, r0cs, nxs, nyxs, *refs)
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((G, ntw * TH, Co, TW), image_nchw.dtype),
+        out_shape=[jax.ShapeDtypeStruct((G, ntw * TH, cp, TW), dt)
+                   for cp in cps],
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(plan["row0"], plan["dylo"], plan["r0c"], plan["nxf"], plan["nyx"],
-      img_p, filt_r, ab_r, dyr, dxr)
-    out = (out.reshape(B, nth, ntw, TH, Co, TW)
-           .transpose(0, 4, 1, 3, 2, 5).reshape(B, Co, Hp, Wp))
-    return out[:, :C, :H, :W]
+      *imgs_p, filt_r, ab_r, dyr, dxr)
+    res = []
+    for im, cp, out in zip(images, cps, outs):
+        C = im.shape[1]
+        o = (out.reshape(B, nth, ntw, TH, cp, TW)
+             .transpose(0, 4, 1, 3, 2, 5).reshape(B, cp, Hp, Wp))
+        res.append(o[:, :C, :H, :W])
+    return res
 
 
 def filter_interp_warp_bands_hcw(image_nchw, wtap, plan, *, filter_size=4,

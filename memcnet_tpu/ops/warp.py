@@ -223,52 +223,80 @@ def _xla_forward_chunked(image, flow, filt, filter_size):
     return jnp.where(valid[:, None], acc, jax.lax.stop_gradient(image))
 
 
-def _fast_forward(image, flow, filt, filter_size, interpret=False):
-    """Pallas band-kernel forward with whole-frame XLA fallback (exact).
+def _fast_forward_multi(images, flow, filt, filter_size, interpret=False):
+    """Pallas band-kernel forward over N channel-split sources sharing one
+    flow/filter, with whole-frame XLA fallback (exact).
 
     The band window kernel (one full-width window DMA per 8-row band, tiles
-    walked in-kernel) replaced the per-tile window kernel on this path in r4:
-    same per-tile bucket compute, ~10 ms/warp less grid-pipeline overhead at
-    720p, and no column budget (fallbacks now only trigger on vertical
-    spread or pathological bucket counts).  The per-tile kernel
-    (`filter_interp_warp_tiles`) remains available for A/B runs."""
-    B, C, H, W = image.shape
+    walked in-kernel) replaced the per-tile window kernel on this path in r4;
+    r5's v2 builds tap weights in-kernel and takes/returns the sources as
+    SEPARATE tensors (the model-side channel concat of frame+context and the
+    output slices were ~3 ms/warp of the 720p step)."""
     fs, half = filter_size, filter_size // 2
     assert filt.shape[1] == fs * fs, (filt.shape, fs)
 
-    valid, ix, iy, alpha, beta = _valid_and_taps(image, flow, fs)
+    valid, ix, iy, alpha, beta = _valid_and_taps(images[0], flow, fs)
+    H, W = images[0].shape[2], images[0].shape[3]
     ys = jnp.arange(H, dtype=jnp.int32)[None, :, None]
     xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     dy = iy + (1 - half) - ys  # tap (j,i) reads source (y+dy+j, x+dx+i)
     dx = ix + (1 - half) - xs
-    plan = _wk.plan_band_tiles(dy, dx, valid, fs, image.dtype)
+    plan = _wk.plan_band_tiles(dy, dx, valid, fs, images[0].dtype)
 
-    if not os.environ.get("MEMCNET_WARP_NHWC"):
-        # HCW layout: weight broadcast rides the sublane axis natively and
-        # the NCHW<->NHWC transposes disappear (~7 ms/call of per-tap weight
-        # relayout measured on v5e in the channels-on-lanes kernel).  v2:
-        # tap weights are built in-kernel from filt + (alpha, beta) in
-        # natural layout — no fused-weight fusion or fs^2-plane remap.
-        ok = plan["hcw_ok"]
+    splits = [im.shape[1] for im in images]
+    ok = plan["hcw_ok"]
 
-        def pallas_branch(_):
-            return _wk.filter_interp_warp_bands_hcw2(
-                image, filt, alpha, beta, plan, filter_size=fs,
-                interpret=interpret)
-    else:
-        ok = plan["band_ok"]
-        img_nhwc = image.transpose(0, 2, 3, 1)
-        wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
-
-        def pallas_branch(_):
-            return _wk.filter_interp_warp_bands(
-                img_nhwc, wtap, plan, filter_size=fs, interpret=interpret)
+    def pallas_branch(_):
+        return tuple(_wk.filter_interp_warp_bands_hcw2(
+            list(images), filt, alpha, beta, plan, filter_size=fs,
+            interpret=interpret))
 
     def xla_branch(_):
-        # Recomputes the select too, but where(valid, ...) below is idempotent.
         # Chunked: this branch's intermediates share the memory plan with the
         # Pallas branch (lax.cond allocates the max of both), so keep them to
-        # one row band instead of a whole-frame patch tensor.
+        # one row band instead of a whole-frame patch tensor.  The channel
+        # concat only materializes on fallback frames.
+        cat = images[0] if len(images) == 1 else jnp.concatenate(images, 1)
+        acc = _xla_forward_chunked(cat, flow, filt, fs)
+        out = []
+        off = 0
+        for c in splits:
+            out.append(acc[:, off:off + c])
+            off += c
+        return tuple(out)
+
+    accs = jax.lax.cond(ok, pallas_branch, xla_branch, None)
+    return tuple(
+        jnp.where(valid[:, None], a, jax.lax.stop_gradient(im))
+        for a, im in zip(accs, images))
+
+
+def _fast_forward(image, flow, filt, filter_size, interpret=False):
+    if os.environ.get("MEMCNET_WARP_NHWC"):
+        return _fast_forward_nhwc(image, flow, filt, filter_size, interpret)
+    return _fast_forward_multi((image,), flow, filt, filter_size,
+                               interpret)[0]
+
+
+def _fast_forward_nhwc(image, flow, filt, filter_size, interpret=False):
+    """A/B variant: the r4 NHWC band kernel (MEMCNET_WARP_NHWC=1)."""
+    B, C, H, W = image.shape
+    fs, half = filter_size, filter_size // 2
+    valid, ix, iy, alpha, beta = _valid_and_taps(image, flow, fs)
+    ys = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    dy = iy + (1 - half) - ys
+    dx = ix + (1 - half) - xs
+    plan = _wk.plan_band_tiles(dy, dx, valid, fs, image.dtype)
+    ok = plan["band_ok"]
+    img_nhwc = image.transpose(0, 2, 3, 1)
+    wtap = _fused_tap_weights(filt, alpha, beta, valid, fs)
+
+    def pallas_branch(_):
+        return _wk.filter_interp_warp_bands(
+            img_nhwc, wtap, plan, filter_size=fs, interpret=interpret)
+
+    def xla_branch(_):
         return _xla_forward_chunked(image, flow, filt, fs)
 
     acc = jax.lax.cond(ok, pallas_branch, xla_branch, None)
@@ -306,6 +334,62 @@ def _fast_op(filter_size, interpret=False):
 
 
 _FORCE_INTERPRET = False  # tests: run the Pallas fast op interpreted on CPU
+
+
+@lru_cache(maxsize=None)
+def _fast_multi_op(n, filter_size, interpret=False):
+    """custom_vjp over N channel-split sources sharing one flow/filter:
+    Pallas forward in inference AND training (raw-input residuals);
+    differentiation runs the concat XLA formulation's exact VJP."""
+    fs = filter_size
+
+    def _impl(*args):
+        return _fast_forward_multi(args[:n], args[n], args[n + 1], fs,
+                                   interpret=interpret)
+
+    op = jax.custom_vjp(_impl)
+
+    def fwd(*args):
+        return _impl(*args), args
+
+    def bwd(res, g):
+        def f(*a):
+            cat = a[0] if n == 1 else jnp.concatenate(a[:n], 1)
+            out = _xla_forward(cat, a[n], a[n + 1], fs)
+            splits, off, parts = [im.shape[1] for im in a[:n]], 0, []
+            for c in splits:
+                parts.append(out[:, off:off + c])
+                off += c
+            return tuple(parts)
+
+        _, vjp = jax.vjp(f, *res)
+        return vjp(tuple(g))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def filter_interp_warp_split(images, flow, filt, *, filter_size=4):
+    """Warp N channel-split sources (e.g. frame + its 64-ch context) through
+    ONE FilterInterpolation pass sharing flow/filter — the reference achieves
+    this by concatenating channels into one call (MEMC_Net_star.py:274-285);
+    here the split API lets the TPU kernel skip both the concat and the
+    output slicing.  Returns a tuple of warped tensors, one per source.
+    Semantics per source are identical to ``filter_interp_warp`` on the
+    concatenation."""
+    from memcnet_tpu.parallel.context import active_tiling
+
+    images = tuple(images)
+    if active_tiling() is not None or not (_FORCE_INTERPRET or _use_pallas()):
+        cat = images[0] if len(images) == 1 else jnp.concatenate(images, 1)
+        out = filter_interp_warp(cat, flow, filt, filter_size=filter_size)
+        res, off = [], 0
+        for im in images:
+            res.append(out[:, off:off + im.shape[1]])
+            off += im.shape[1]
+        return tuple(res)
+    return _fast_multi_op(len(images), filter_size, _FORCE_INTERPRET)(
+        *images, flow, filt)
 
 
 def _use_pallas():

@@ -186,3 +186,53 @@ class TestTrainingForwardRunsPallas:
             np.testing.assert_allclose(
                 np.asarray(g_pk[k]), np.asarray(g_xla[k]),
                 rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+class TestSplitWarp:
+    """filter_interp_warp_split: N channel-split sources through one kernel
+    pass == the concat single-op semantics, values and gradients."""
+
+    def test_split_matches_concat(self, rng):
+        B, H, Wd = 1, 16, 128
+        img = rng.rand(B, 3, H, Wd).astype(np.float32)
+        ctx = rng.rand(B, 5, H, Wd).astype(np.float32)
+        flow = (rng.rand(B, 2, H, Wd).astype(np.float32) - 0.5) * 3
+        filt = rng.rand(B, 16, H, Wd).astype(np.float32)
+
+        want = W._xla_forward(np.concatenate([img, ctx], 1), flow, filt, 4)
+        W._FORCE_INTERPRET = True
+        try:
+            got_i, got_c = W.filter_interp_warp_split(
+                (jnp.asarray(img), jnp.asarray(ctx)), jnp.asarray(flow),
+                jnp.asarray(filt))
+        finally:
+            W._FORCE_INTERPRET = False
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want[:, :3]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want[:, 3:]),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_split_grads_match_concat(self, rng):
+        B, H, Wd = 1, 8, 128
+        img = jnp.asarray(rng.rand(B, 3, H, Wd).astype(np.float32))
+        ctx = jnp.asarray(rng.rand(B, 2, H, Wd).astype(np.float32))
+        flow = jnp.asarray((rng.rand(B, 2, H, Wd).astype(np.float32) - 0.5) * 3)
+        filt = jnp.asarray(rng.rand(B, 16, H, Wd).astype(np.float32))
+        ct = (jnp.asarray(rng.randn(B, 3, H, Wd).astype(np.float32)),
+              jnp.asarray(rng.randn(B, 2, H, Wd).astype(np.float32)))
+
+        op = W._fast_multi_op(2, 4, True)
+
+        def loss_split(a, b, f, k):
+            o1, o2 = op(a, b, f, k)
+            return jnp.sum(o1 * ct[0]) + jnp.sum(o2 * ct[1])
+
+        def loss_cat(a, b, f, k):
+            out = W._xla_forward(jnp.concatenate([a, b], 1), f, k, 4)
+            return jnp.sum(out[:, :3] * ct[0]) + jnp.sum(out[:, 3:] * ct[1])
+
+        g1 = jax.grad(loss_split, argnums=(0, 1, 2, 3))(img, ctx, flow, filt)
+        g2 = jax.grad(loss_cat, argnums=(0, 1, 2, 3))(img, ctx, flow, filt)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
