@@ -18,10 +18,17 @@ def init_params(key, prefix="ctxNet", dtype=jnp.float32):
 
 
 def forward(params, x, prefix="ctxNet"):
+    from memcnet_tpu.ops.pallas import conv_kernel as CK
+
     mean = jnp.asarray([0.485, 0.485, 0.485], x.dtype).reshape(1, 3, 1, 1)
     std = jnp.asarray([0.229, 0.224, 0.224], x.dtype).reshape(1, 3, 1, 1)
     y = (x - mean) / std
+    w = params[f"{prefix}.conv1.weight"]
+    if CK.use_fast_conv(y):
+        # Pallas band conv: XLA's direct conv leaves this 3->64 7x7 at ~8%
+        # MXU in-model (2.5 ms + ~1.7 ms adjacent layout copies, r5 trace)
+        return CK.conv2d_small_op(y, w, None)
     # direct conv: 7.9 ms vs 17.1 ms for the im2col einsum at 720p B=2 on
     # v5e — and the im2col einsum costs ~770 s of XLA compile at this shape
     # (most of the bench's cold compile); tools/bench_ctx.py
-    return L.conv2d(y, params[f"{prefix}.conv1.weight"], None, stride=1, padding=3)
+    return L.conv2d(y, w, None, stride=1, padding=3)

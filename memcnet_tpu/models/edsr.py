@@ -103,6 +103,10 @@ def _body(params, h, n_resblocks, prefix):
         res = res + r  # ResBlock skip (common.py:39-43, res_scale=1)
     res = L.p_conv(params, f"{prefix}.body.{n_resblocks}", res, padding=1)
     # no global residual: EDSR.py:47 `# res += x`
+    # NOTE r5: routing the tiny-O tail (128->3) through the Pallas band conv
+    # measured CATASTROPHIC in-model (115 -> ~320 ms): the kernel's
+    # (B,Hpad,Ct,Wp) input layout flips the layout of the entire upstream
+    # resblock chain.  XLA's 1.6 ms for the tail stands.
     return L.p_conv(params, f"{prefix}.tail.0", res, padding=1)
 
 

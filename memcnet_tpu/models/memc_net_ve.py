@@ -25,7 +25,7 @@ from memcnet_tpu.models.mononet import (
 )
 from memcnet_tpu.nn import init as I
 from memcnet_tpu.nn.layers import upsample_bilinear
-from memcnet_tpu.ops import filter_interp_warp
+from memcnet_tpu.ops.warp import filter_interp_warp_split
 
 DIV_FLOW = 20.0
 
@@ -92,8 +92,6 @@ class MEMCNetVE:
         # rose with a batch dim — the r3 measurement that kept these split).
         # r5: the split API warps frame + context without the channel concat
         # or output slicing.
-        from memcnet_tpu.ops.warp import filter_interp_warp_split
-
         w_all, cw_all = filter_interp_warp_split(
             (neigh, ctx_n), flow, filt, filter_size=fs)
         warped = []

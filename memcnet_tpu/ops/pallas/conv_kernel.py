@@ -175,6 +175,11 @@ def _xla_conv(x, w, b, relu):
     """The gradient-defining XLA formulation (PyTorch Conv2d semantics,
     matching nn/layers.py::conv2d + relu)."""
     kh, kw = w.shape[2], w.shape[3]
+    # preferred_element_type=f32 is a TPU PERF feature for bf16 convs
+    # (removing it regressed the 720p forward 115 -> 320 ms, r5) — but the
+    # pattern's vjp transpose rejects bf16 (mixed bf16/f32 conv operands),
+    # so bf16 differentiation is unsupported here: the trainer runs f32
+    # (PERF.md r5 known-limitation note).
     out = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -5,10 +5,13 @@ the train step no longer pays the ~95 ms/warp XLA gather path for its primal.
 Usage: python tools/bench_train_step.py [--h 768] [--w 1344] [--fp32]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
