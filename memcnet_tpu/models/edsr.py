@@ -93,14 +93,22 @@ def forward_pieces(params, pieces, n_resblocks=10, prefix="rectifyNet"):
 
 
 def _body(params, h, n_resblocks, prefix):
+    import jax
+
     if os.environ.get("MEMCNET_EDSR_NHWC"):
         return _body_nhwc(params, h, n_resblocks, prefix)
     res = h
     for i in range(n_resblocks):
-        r = L.p_conv(params, f"{prefix}.body.{i}.body.0", res, padding=1)
-        r = L.relu(r)
-        r = L.p_conv(params, f"{prefix}.body.{i}.body.2", r, padding=1)
-        res = res + r  # ResBlock skip (common.py:39-43, res_scale=1)
+        # remat per resblock: inference cost zero (checkpoint inlines when
+        # not differentiated); training stores only the res chain instead of
+        # every conv activation — the 720p bf16 train step was 6.8 G over
+        # HBM without it (r5)
+        def blk(r, i=i):
+            t = L.p_conv(params, f"{prefix}.body.{i}.body.0", r, padding=1)
+            t = L.relu(t)
+            return L.p_conv(params, f"{prefix}.body.{i}.body.2", t, padding=1)
+
+        res = res + jax.checkpoint(blk)(res)  # ResBlock skip (common.py:39-43)
     res = L.p_conv(params, f"{prefix}.body.{n_resblocks}", res, padding=1)
     # no global residual: EDSR.py:47 `# res += x`
     # NOTE r5: routing the tiny-O tail (128->3) through the Pallas band conv

@@ -19,6 +19,8 @@ All spatial ops are NCHW. XLA relayouts internally for the TPU MXU; keeping
 NCHW at the API keeps parameter parity trivial.
 """
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,19 +29,74 @@ from jax import lax
 _CONV_DN = ("NCHW", "OIHW", "NCHW")
 
 
+@lru_cache(maxsize=None)
+def _conv2d_bf16_op(s, p):
+    """custom_vjp bf16 conv (groups=1): forward keeps the
+    preferred_element_type(f32)+astype pattern (a measured TPU perf feature
+    — dropping it regressed the 720p forward 115 -> 320 ms, r5), whose
+    built-in transpose rule rejects bf16 (it feeds an f32 cotangent into a
+    bf16-operand conv).  The backward here is the standard conv transpose
+    written explicitly, with the same fast pattern on both gradient convs."""
+
+    def _impl(x, w):
+        out = lax.conv_general_dilated(
+            x, w, window_strides=s, padding=((p[0], p[0]), (p[1], p[1])),
+            dimension_numbers=_CONV_DN,
+            preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
+
+    op = jax.custom_vjp(_impl)
+
+    def fwd(x, w):
+        return _impl(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        g = g.astype(x.dtype)
+        kh, kw = w.shape[2], w.shape[3]
+        H, W = x.shape[2], x.shape[3]
+        Hg, Wg = g.shape[2], g.shape[3]
+        (sh, sw), (ph, pw) = s, p
+        # d/dx: flipped-kernel conv of the (stride-dilated) cotangent
+        plh, plw = kh - 1 - ph, kw - 1 - pw
+        phh = H - ((Hg - 1) * sh + 1) - plh + kh - 1
+        pwh = W - ((Wg - 1) * sw + 1) - plw + kw - 1
+        gx = lax.conv_general_dilated(
+            g, w[:, :, ::-1, ::-1], (1, 1), ((plh, phh), (plw, pwh)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NCHW", "IOHW", "NCHW"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        # d/dw: batch becomes the contraction ("CNHW" lhs / "IOHW" rhs),
+        # kernel positions become the output window
+        loh = (H + 2 * ph - kh) % sh
+        low = (W + 2 * pw - kw) % sw
+        gw = lax.conv_general_dilated(
+            x, g, (1, 1), ((ph, ph - loh), (pw, pw - low)),
+            rhs_dilation=(sh, sw),
+            dimension_numbers=("CNHW", "IOHW", "NCHW"),
+            preferred_element_type=jnp.float32)  # (I, O, kh, kw)
+        return gx, gw.transpose(1, 0, 2, 3).astype(w.dtype)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def conv2d(x, w, b=None, *, stride=1, padding=0, groups=1):
     """PyTorch Conv2d. w: (O, I/groups, kH, kW)."""
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
-    out = lax.conv_general_dilated(
-        x, w, window_strides=s,
-        padding=((p[0], p[0]), (p[1], p[1])),
-        dimension_numbers=_CONV_DN,
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
-    )
-    if out.dtype != x.dtype:
-        out = out.astype(x.dtype)
+    if x.dtype == jnp.bfloat16 and groups == 1:
+        out = _conv2d_bf16_op(s, p)(x, w)
+    else:
+        out = lax.conv_general_dilated(
+            x, w, window_strides=s,
+            padding=((p[0], p[0]), (p[1], p[1])),
+            dimension_numbers=_CONV_DN,
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
+        )
+        if out.dtype != x.dtype:
+            out = out.astype(x.dtype)
     if b is not None:
         out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
     return out
@@ -125,13 +182,8 @@ def _conv_transpose2d_subpixel(x, w, b=None):
     ]
     wbig = jnp.concatenate(subs, axis=0)  # (4O, I, 2, 2), blocks (a,c)
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    q = lax.conv_general_dilated(
-        xp, wbig, window_strides=(1, 1), padding=((0, 0), (0, 0)),
-        dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
-    )  # (B, 4O, H+1, W+1)
-    if q.dtype != x.dtype:
-        q = q.astype(x.dtype)
+    # via conv2d so the bf16 custom-vjp path applies (see _conv2d_bf16_op)
+    q = conv2d(xp, wbig, None, stride=1, padding=0)  # (B, 4O, H+1, W+1)
     o = [
         q[:, (2 * a + c) * O : (2 * a + c + 1) * O, a : a + H, c : c + W]
         for a in (0, 1)

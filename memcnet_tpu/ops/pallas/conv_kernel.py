@@ -172,23 +172,13 @@ def conv2d_small(x, w, b=None, *, relu=False, interpret=False):
 
 
 def _xla_conv(x, w, b, relu):
-    """The gradient-defining XLA formulation (PyTorch Conv2d semantics,
-    matching nn/layers.py::conv2d + relu)."""
+    """The gradient-defining XLA formulation (PyTorch Conv2d semantics) —
+    via nn/layers.py::conv2d, whose bf16 path carries the hand-written conv
+    VJP (the preferred_element_type pattern has no bf16 transpose rule)."""
+    from memcnet_tpu.nn import layers as L
+
     kh, kw = w.shape[2], w.shape[3]
-    # preferred_element_type=f32 is a TPU PERF feature for bf16 convs
-    # (removing it regressed the 720p forward 115 -> 320 ms, r5) — but the
-    # pattern's vjp transpose rejects bf16 (mixed bf16/f32 conv operands),
-    # so bf16 differentiation is unsupported here: the trainer runs f32
-    # (PERF.md r5 known-limitation note).
-    out = jax.lax.conv_general_dilated(
-        x, w, (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32 if x.dtype == jnp.bfloat16 else None,
-    )
-    if out.dtype != x.dtype:
-        out = out.astype(x.dtype)
-    if b is not None:
-        out = out + b.reshape(1, -1, 1, 1).astype(out.dtype)
+    out = L.conv2d(x, w, b, stride=1, padding=(kh // 2, kw // 2))
     return jnp.maximum(out, 0) if relu else out
 
 

@@ -324,8 +324,11 @@ def _fast_op(filter_size, interpret=False):
                 (image, flow, filt))
 
     def bwd(res, g):
+        # chunked formulation: bit-identical values, but the backward's
+        # patch intermediates stay one row-band (the whole-frame backward
+        # OOM'd the 720p bf16 train step at 22.6 G, r5)
         _, vjp = jax.vjp(
-            lambda a, b, c: _xla_forward(a, b, c, filter_size), *res
+            lambda a, b, c: _xla_forward_chunked(a, b, c, filter_size), *res
         )
         return vjp(g)
 
@@ -355,7 +358,8 @@ def _fast_multi_op(n, filter_size, interpret=False):
     def bwd(res, g):
         def f(*a):
             cat = a[0] if n == 1 else jnp.concatenate(a[:n], 1)
-            out = _xla_forward(cat, a[n], a[n + 1], fs)
+            # chunked: see _fast_op.bwd
+            out = _xla_forward_chunked(cat, a[n], a[n + 1], fs)
             splits, off, parts = [im.shape[1] for im in a[:n]], 0, []
             for c in splits:
                 parts.append(out[:, off:off + c])

@@ -157,3 +157,48 @@ def test_conv2d_im2col(rng, stride, padding, k, cin):
     want = F.conv2d(t(x), t(w), t(b), stride=stride, padding=padding).numpy()
     got = np.asarray(mnn.layers.conv2d_im2col(x, w, b, stride=stride, padding=padding))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+import jax.numpy as jnp  # noqa: E402
+
+from memcnet_tpu.nn import layers as L  # noqa: E402
+
+
+class TestBf16ConvVJP:
+    """The hand-written bf16 conv backward (nn/layers.py::_conv2d_bf16_op)
+    must match autodiff of the f32 conv within bf16 rounding, across strides
+    and the asymmetric-leftover padding case."""
+
+    @pytest.mark.parametrize("s,p,k,H,W", [
+        (1, 1, 3, 12, 20),
+        (1, 3, 7, 12, 20),
+        (2, 1, 3, 13, 21),   # leftover != 0 on both axes
+        (2, 3, 7, 16, 24),
+    ])
+    def test_grads_match_f32(self, s, p, k, H, W):
+        import jax
+
+        rng = np.random.RandomState(0)
+        x32 = jnp.asarray(rng.randn(2, 5, H, W).astype(np.float32))
+        w32 = jnp.asarray((rng.randn(4, 5, k, k) * 0.2).astype(np.float32))
+        ct32 = None
+
+        def loss(x, w):
+            out = L.conv2d(x, w, stride=s, padding=p)
+            return jnp.sum(out * ct)
+
+        Ho = (H + 2 * p - k) // s + 1
+        Wo = (W + 2 * p - k) // s + 1
+        ct = jnp.asarray(rng.randn(2, 4, Ho, Wo).astype(np.float32))
+        gx32, gw32 = jax.grad(loss, argnums=(0, 1))(x32, w32)
+
+        ct = ct.astype(jnp.bfloat16)
+        gx16, gw16 = jax.grad(loss, argnums=(0, 1))(
+            x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16))
+        assert gx16.dtype == jnp.bfloat16 and gw16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(gx16, np.float32), np.asarray(gx32),
+            rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(gw16, np.float32), np.asarray(gw32),
+            rtol=0.05, atol=0.35)
